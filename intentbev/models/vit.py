@@ -1,0 +1,260 @@
+"""IntentNetViT: two-stream Vision Transformer backbone + heads (Flax).
+
+First-party ViT equivalent to timm's ``vit_small_patch8_224`` as used by the
+reference (model_vit.py:62-74): patch-embed conv (8x8 stride 8), CLS token,
+learned position embeddings over 1 + 50*90 = 4501 tokens, 12 pre-LN blocks
+of MHSA(6 heads, 384) + MLP(x4), stochastic depth (drop-path) linearly
+scaled over depth, final LayerNorm. Per stream the patch tokens are passed
+through an adapter LN -> Linear(384 -> 192) -> GELU and reshaped to a
+(B, 50, 90, 192) feature map (model_vit.py:82-83,116-121); the two streams
+concat to 384 channels and run through a stride-1 residual fusion stage to
+512 channels (model_vit.py:85-92), giving total stride 8 = patch size.
+
+TPU-first details:
+- attention runs through :func:`intentbev.ops.multi_head_attention`, which
+  dispatches to a blockwise Pallas flash kernel on TPU (O(T) memory instead
+  of timm's dense 4501^2 attention matrix);
+- layout is NHWC; the 290-channel patch-embed conv lowers to a single
+  (64*290) x 384 matmul per token tile on the MXU;
+- compute dtype is configurable (bf16 by default in training) with
+  LayerNorm/softmax/logits kept in f32;
+- blocks can be wrapped in ``jax.checkpoint`` (remat) to trade FLOPs for
+  HBM during training.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import HeadConfig, ViTBackboneConfig
+from ..ops import multi_head_attention
+from .blocks import ResidualStage, ensure_nhwc
+from .heads import DetectionHead, IntentionHead, flatten_head_outputs
+
+_dense_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    use_flash: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, d = x.shape
+        head_dim = d // self.num_heads
+        qkv = nn.Dense(
+            3 * d, use_bias=self.qkv_bias, kernel_init=_dense_init,
+            dtype=self.dtype, name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, t, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [B, T, H, D]
+        q = jnp.transpose(q, (0, 2, 1, 3))  # [B, H, T, D]
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v, (0, 2, 1, 3))
+        out = multi_head_attention(q, k, v, use_flash=self.use_flash)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
+        return nn.Dense(d, kernel_init=_dense_init, dtype=self.dtype, name="proj")(out)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, mask_shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class EncoderBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop_path_rate: float
+    use_flash: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        d = x.shape[-1]
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = Attention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            use_flash=self.use_flash, dtype=self.dtype, name="attn",
+        )(h.astype(self.dtype))
+        x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = Mlp(
+            hidden_dim=int(d * self.mlp_ratio), out_dim=d,
+            dtype=self.dtype, name="mlp",
+        )(h.astype(self.dtype))
+        x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic)
+        return x
+
+
+class ViTEncoder(nn.Module):
+    """Patch embed + CLS + pos embed + transformer stack + final LN.
+
+    Returns all tokens [B, 1+N, D] after the final LayerNorm (the
+    equivalent of timm ``forward_features``, model_vit.py:119).
+    """
+
+    cfg: ViTBackboneConfig
+    in_channels: int
+    use_flash: bool = True
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_nhwc: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        p = cfg.patch_size
+        b, h, w, _ = x_nhwc.shape
+        assert h % p == 0 and w % p == 0, f"grid {h}x{w} not divisible by patch {p}"
+        gh, gw = h // p, w // p
+        n = gh * gw
+
+        x = nn.Conv(
+            cfg.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            kernel_init=_dense_init, dtype=self.dtype, name="patch_embed",
+        )(x_nhwc)
+        tokens = x.reshape(b, n, cfg.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, cfg.embed_dim)
+        )
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02), (1, 1 + n, cfg.embed_dim)
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, cfg.embed_dim)).astype(tokens.dtype), tokens],
+            axis=1,
+        )
+        tokens = tokens + pos_embed.astype(tokens.dtype)
+
+        dp_rates = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        block_cls = EncoderBlock
+        if self.remat:
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2,))
+        for i in range(cfg.depth):
+            tokens = block_cls(
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                drop_path_rate=float(dp_rates[i]),
+                use_flash=self.use_flash,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(tokens, deterministic)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm")(tokens)
+
+
+class TwoStreamViTBackbone(nn.Module):
+    """Reference model_vit.py:38-142."""
+
+    cfg: ViTBackboneConfig
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, lidar_bev: jnp.ndarray, map_bev: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        gh, gw = cfg.grid_size
+        deterministic = not train
+
+        def process_stream(x, name):
+            tokens = ViTEncoder(
+                cfg,
+                in_channels=x.shape[-1],
+                use_flash=cfg.use_flash_attention,
+                remat=self.remat,
+                dtype=self.dtype,
+                name=f"vit_{name}",
+            )(x, deterministic)
+            patch_tokens = tokens[:, 1:]  # strip CLS (model_vit.py:119)
+            # adapter LN -> Linear -> GELU (model_vit.py:82-83)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"adapter_{name}_norm")(patch_tokens)
+            h = nn.Dense(
+                cfg.adapter_out_channels, kernel_init=_dense_init,
+                dtype=self.dtype, name=f"adapter_{name}_proj",
+            )(h.astype(self.dtype))
+            h = nn.gelu(h, approximate=False)
+            return h.reshape(h.shape[0], gh, gw, cfg.adapter_out_channels)
+
+        l_feat = process_stream(lidar_bev, "lidar")
+        m_feat = process_stream(map_bev, "map")
+        fused = jnp.concatenate([l_feat, m_feat], axis=-1)
+        return ResidualStage(
+            planes=cfg.fusion_planes,
+            num_blocks=cfg.fusion_layers,
+            stride=cfg.fusion_stride,
+            kernel_size=cfg.fusion_kernel_size,
+            dtype=self.dtype,
+            name="fusion",
+        )(fused, train=train)
+
+
+class IntentNetViT(nn.Module):
+    """Reference model_vit.py:145-185; same 3-tensor output contract as CNN."""
+
+    cfg: ViTBackboneConfig
+    head_cfg: HeadConfig
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, lidar_bev: jnp.ndarray, map_bev: jnp.ndarray, train: bool = False
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        lidar_bev = ensure_nhwc(lidar_bev, self.cfg.lidar_input_channels).astype(self.dtype)
+        map_bev = ensure_nhwc(map_bev, self.cfg.map_input_channels).astype(self.dtype)
+
+        features = TwoStreamViTBackbone(
+            self.cfg, remat=self.remat, dtype=self.dtype, name="backbone"
+        )(lidar_bev, map_bev, train=train)
+        cls_logits, box_preds = DetectionHead(
+            num_anchors=self.head_cfg.num_anchors,
+            num_box_params=self.head_cfg.num_box_params,
+            dtype=self.dtype,
+            name="det_head",
+        )(features)
+        intent_logits = IntentionHead(
+            num_anchors=self.head_cfg.num_anchors,
+            num_classes=self.head_cfg.num_intention_classes,
+            dtype=self.dtype,
+            name="intention_head",
+        )(features)
+        cls_f, box_f, intent_f = flatten_head_outputs(cls_logits, box_preds, intent_logits)
+        return (
+            cls_f.astype(jnp.float32),
+            box_f.astype(jnp.float32),
+            intent_f.astype(jnp.float32),
+        )
