@@ -1,0 +1,199 @@
+"""Device-side BEV augmentations under jax.random, GT-consistent.
+
+Replaces the reference's host cv2 augmentations (utils.py:394-517) with a
+single jitted pipeline: flip -> (rotate + scale as one composed affine
+bilinear warp) -> patch dropout. Runs inside the train step on device, so
+augmentation cost overlaps nothing on the host (the reference's #1
+bottleneck, SURVEY.md §3.2).
+
+Deliberate fixes vs the reference (SURVEY.md §2 'decide deliberately'):
+- rotation and scaling warp the image about the EGO pixel origin (row 300,
+  col 360), the same point about which the GT boxes are transformed — the
+  reference rotates the image about the image centre while rotating GT
+  about the ego origin (utils.py:425-447), leaving image and boxes
+  inconsistent by up to ~20 px. Same for scale.
+Everything else (probabilities, ranges, label swaps, dropout geometry)
+matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import AugmentConfig, GridConfig
+from ..configs import INTENTIONS_MAP as IM
+
+
+class AugmentedSample(NamedTuple):
+    lidar_bev: jnp.ndarray   # f32[H, W, CL]
+    map_bev: jnp.ndarray     # f32[H, W, CM]
+    gt_boxes: jnp.ndarray    # f32[G, 5]
+    gt_intentions: jnp.ndarray  # i32[G]
+
+
+# LEFT/RIGHT swap table for horizontal flip (utils.py:406-414)
+_FLIP_INTENT_TABLE = jnp.array(
+    [
+        IM["KEEP_LANE"],
+        IM["TURN_RIGHT"],        # TURN_LEFT ->
+        IM["TURN_LEFT"],         # TURN_RIGHT ->
+        IM["RIGHT_CHANGE_LANE"],  # LEFT_CHANGE_LANE ->
+        IM["LEFT_CHANGE_LANE"],   # RIGHT_CHANGE_LANE ->
+        IM["STOPPING_STOPPED"],
+        IM["PARKED"],
+        IM["OTHER"],
+    ],
+    dtype=jnp.int32,
+)
+
+
+def _bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img [H, W, C] at float (rows, cols) [H, W]; zero pad."""
+    h, w, _ = img.shape
+    r0 = jnp.floor(rows)
+    c0 = jnp.floor(cols)
+    dr = (rows - r0)[..., None]
+    dc = (cols - c0)[..., None]
+    r0i = r0.astype(jnp.int32)
+    c0i = c0.astype(jnp.int32)
+
+    def gather(ri, ci):
+        ok = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w)
+        ri_s = jnp.clip(ri, 0, h - 1)
+        ci_s = jnp.clip(ci, 0, w - 1)
+        vals = img[ri_s, ci_s]  # [H, W, C]
+        return jnp.where(ok[..., None], vals, 0.0)
+
+    v00 = gather(r0i, c0i)
+    v01 = gather(r0i, c0i + 1)
+    v10 = gather(r0i + 1, c0i)
+    v11 = gather(r0i + 1, c0i + 1)
+    return (
+        v00 * (1 - dr) * (1 - dc)
+        + v01 * (1 - dr) * dc
+        + v10 * dr * (1 - dc)
+        + v11 * dr * dc
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "grid"))
+def augment_bev(
+    lidar_bev: jnp.ndarray,
+    map_bev: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_intentions: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    rng: jax.Array,
+    cfg: AugmentConfig,
+    grid: GridConfig,
+) -> AugmentedSample:
+    """Single-sample augmentation; vmap over batch via batched_augment_bev."""
+    k_flip, k_rot_p, k_rot_a, k_scl_p, k_scl_s, k_drop = jax.random.split(rng, 6)
+
+    h, w = grid.height_px, grid.width_px
+    oy, ox = grid.pixel_offset_y, grid.pixel_offset_x
+
+    boxes = gt_boxes
+    intents = gt_intentions
+
+    # ---- flip (utils.py:394-415): mirror W axis, negate cy & yaw, swap L/R
+    do_flip = jax.random.bernoulli(k_flip, float(cfg.flip_prob))
+    lidar_bev = jnp.where(do_flip, jnp.flip(lidar_bev, axis=1), lidar_bev)
+    map_bev = jnp.where(do_flip, jnp.flip(map_bev, axis=1), map_bev)
+    flipped_boxes = boxes.at[:, 1].multiply(-1.0).at[:, 4].multiply(-1.0)
+    boxes = jnp.where(do_flip, flipped_boxes, boxes)
+    intents = jnp.where(do_flip, _FLIP_INTENT_TABLE[jnp.maximum(intents, 0)], intents)
+
+    # ---- rotate + scale as one composed inverse affine about ego origin
+    do_rot = jax.random.bernoulli(k_rot_p, float(cfg.rotate_prob))
+    angle_deg = jax.random.uniform(
+        k_rot_a, (), minval=cfg.rotate_range_deg[0], maxval=cfg.rotate_range_deg[1]
+    )
+    theta = jnp.where(do_rot, jnp.deg2rad(angle_deg), 0.0)
+
+    do_scale = jax.random.bernoulli(k_scl_p, float(cfg.scale_prob))
+    s = jax.random.uniform(
+        k_scl_s, (), minval=cfg.scale_range[0], maxval=cfg.scale_range[1]
+    )
+    s = jnp.where(do_scale, s, 1.0)
+
+    # forward map (metric, about ego): p' = s * R(theta) p
+    # inverse map for output pixel -> source pixel: p = R(-theta) p' / s
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    x_out = (oy - rows) * grid.voxel_size_m
+    y_out = (cols - ox) * grid.voxel_size_m
+    ct, st = jnp.cos(-theta), jnp.sin(-theta)
+    x_src = (ct * x_out - st * y_out) / s
+    y_src = (st * x_out + ct * y_out) / s
+    src_rows = oy - x_src / grid.voxel_size_m
+    src_cols = ox + y_src / grid.voxel_size_m
+
+    identity = (~do_rot) & (~do_scale)
+
+    def warp(img):
+        return jnp.where(identity, img, _bilinear_sample(img, src_rows, src_cols))
+
+    lidar_bev = warp(lidar_bev)
+    map_bev = warp(map_bev)
+
+    # GT: rotate centres + heading (utils.py:441-448), then scale cx,cy,w,l
+    # (utils.py:478-479)
+    cx, cy = boxes[:, 0], boxes[:, 1]
+    ca, sa = jnp.cos(theta), jnp.sin(theta)
+    boxes = boxes.at[:, 0].set(cx * ca - cy * sa).at[:, 1].set(cx * sa + cy * ca)
+    boxes = boxes.at[:, 4].add(theta)
+    boxes = boxes.at[:, :4].multiply(s)
+    boxes = boxes.at[:, 4].set(jnp.arctan2(jnp.sin(boxes[:, 4]), jnp.cos(boxes[:, 4])))
+
+    # ---- patch dropout (utils.py:482-498)
+    kd = jax.random.split(k_drop, 2 + 5 * 4)
+    do_drop = jax.random.bernoulli(kd[0], float(cfg.dropout_prob))
+    max_patches = cfg.dropout_num_patches[1]
+    num_patches = jax.random.randint(
+        kd[1], (), cfg.dropout_num_patches[0], max_patches + 1
+    )
+    keep = jnp.ones((h, w), dtype=bool)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    lo, hi = cfg.dropout_patch_px
+    for j in range(max_patches):
+        kj = kd[2 + j * 4 : 2 + (j + 1) * 4]
+        ph = jax.random.randint(kj[0], (), lo, hi + 1)
+        pw = jax.random.randint(kj[1], (), lo, hi + 1)
+        r0 = jax.random.randint(kj[2], (), 0, jnp.maximum(1, h - ph + 1))
+        c0 = jax.random.randint(kj[3], (), 0, jnp.maximum(1, w - pw + 1))
+        in_patch = (
+            (rows_i >= r0) & (rows_i < r0 + ph) & (cols_i >= c0) & (cols_i < c0 + pw)
+        )
+        active = do_drop & (j < num_patches)
+        keep = keep & ~(in_patch & active)
+
+    keep_f = keep[..., None].astype(lidar_bev.dtype)
+    lidar_bev = lidar_bev * keep_f
+    map_bev = map_bev * keep_f
+
+    boxes = jnp.where(gt_valid[:, None], boxes, gt_boxes)
+    intents = jnp.where(gt_valid, intents, gt_intentions)
+    return AugmentedSample(lidar_bev, map_bev, boxes, intents.astype(jnp.int32))
+
+
+def batched_augment_bev(
+    lidar_bev: jnp.ndarray,
+    map_bev: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_intentions: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    rng: jax.Array,
+    cfg: AugmentConfig,
+    grid: GridConfig,
+) -> AugmentedSample:
+    """Per-sample independent augmentation over a batch."""
+    keys = jax.random.split(rng, lidar_bev.shape[0])
+    return jax.vmap(
+        lambda l, m, b, i, v, k: augment_bev(l, m, b, i, v, k, cfg, grid)
+    )(lidar_bev, map_bev, gt_boxes, gt_intentions, gt_valid, keys)

@@ -1,0 +1,208 @@
+"""HD-map rasterization to 9-channel BEV without OpenCV.
+
+Channel semantics (reference utils.py:146-180):
+  0 drivable lane-polygon fill          (left boundary + reversed right)
+  1 left lane boundary polyline
+  2 right lane boundary polyline
+  3 pedestrian-crossing polygon fill
+  4 intersection lane fill
+  5 bus-lane fill
+  6 DASHED_WHITE markings   7 SOLID_WHITE   8 SOLID_YELLOW
+
+The reference re-parses the log's map JSON and re-draws every polygon with
+cv2 for EVERY sample (utils.py:108-182 called from dataset.py:348). Here
+the JSON is parsed once per log into ``MapElements`` (plain numpy arrays)
+and rasterization uses first-party numpy primitives (even-odd scanline
+polygon fill + Bresenham polylines). A per-log cache plus a device-side
+warp lives in ``intentbev.data.pipeline`` for the fast path.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..configs import GridConfig
+from ..geometry import ego_centric_transform_matrix, quat_to_yaw
+
+_MARK_CHANNELS = {"DASHED_WHITE": 6, "SOLID_WHITE": 7, "SOLID_YELLOW": 8}
+
+
+@dataclass
+class LaneSegment:
+    left_boundary: np.ndarray   # f64[K, 2] world xy
+    right_boundary: np.ndarray  # f64[K2, 2]
+    is_intersection: bool = False
+    lane_type: str = "VEHICLE"
+    left_mark_type: str = ""
+    right_mark_type: str = ""
+    lane_id: int = -1
+    successors: tuple = ()
+
+
+@dataclass
+class MapElements:
+    lanes: list = field(default_factory=list)
+    crosswalks: list = field(default_factory=list)  # each f64[K, 2] world xy
+
+
+def _points_xy(raw) -> np.ndarray:
+    if not raw:
+        return np.empty((0, 2))
+    pts = [(p["x"], p["y"]) for p in raw if isinstance(p, dict) and "x" in p and "y" in p]
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def parse_map_json(map_json_path: str) -> MapElements:
+    """Parse an AV2 log_map_archive JSON once (reference re-parses per
+    sample, utils.py:112-119)."""
+    with open(map_json_path, "r") as f:
+        data = json.load(f)
+    elements = MapElements()
+    lane_segments = data.get("lane_segments", {})
+    for lane_id, lane in lane_segments.items():
+        elements.lanes.append(
+            LaneSegment(
+                left_boundary=_points_xy(lane.get("left_lane_boundary", [])),
+                right_boundary=_points_xy(lane.get("right_lane_boundary", [])),
+                is_intersection=bool(lane.get("is_intersection", False)),
+                lane_type=lane.get("lane_type", "VEHICLE"),
+                left_mark_type=lane.get("left_lane_mark_type", "") or "",
+                right_mark_type=lane.get("right_lane_mark_type", "") or "",
+                lane_id=int(lane_id) if str(lane_id).lstrip("-").isdigit() else -1,
+                successors=tuple(lane.get("successors", []) or ()),
+            )
+        )
+    for _, cw in data.get("pedestrian_crossings", {}).items():
+        poly = _points_xy(cw.get("polygon", []))
+        if len(poly):
+            elements.crosswalks.append(poly)
+    return elements
+
+
+# ---------------------------------------------------------------------------
+# numpy raster primitives (replace cv2.fillPoly / cv2.polylines)
+# ---------------------------------------------------------------------------
+
+def fill_polygon(mask: np.ndarray, pts: np.ndarray) -> None:
+    """Even-odd scanline fill of integer-vertex polygon into bool/uint8 mask.
+
+    ``pts`` is int[K, 2] as (col, row) like cv2.fillPoly point order.
+    Fills pixels whose integer coordinates are inside (or on a left/top
+    boundary of) the polygon — close to cv2's convention.
+    """
+    if pts.shape[0] < 3:
+        return
+    h, w = mask.shape
+    px = pts[:, 0].astype(np.float64)
+    py = pts[:, 1].astype(np.float64)
+    y_min = max(int(np.floor(py.min())), 0)
+    y_max = min(int(np.ceil(py.max())), h - 1)
+    if y_max < y_min:
+        return
+    x1 = px
+    y1 = py
+    x2 = np.roll(px, -1)
+    y2 = np.roll(py, -1)
+    for y in range(y_min, y_max + 1):
+        # edges crossing the scanline at pixel-centre y
+        yc = y + 0.0
+        cond = ((y1 <= yc) & (y2 > yc)) | ((y2 <= yc) & (y1 > yc))
+        if not cond.any():
+            continue
+        t = (yc - y1[cond]) / (y2[cond] - y1[cond])
+        xs = np.sort(x1[cond] + t * (x2[cond] - x1[cond]))
+        for i in range(0, len(xs) - 1, 2):
+            a = max(int(np.ceil(xs[i] - 0.5)), 0)
+            b = min(int(np.floor(xs[i + 1] + 0.5)), w - 1)
+            if b >= a:
+                mask[y, a : b + 1] = 1
+
+
+def draw_polyline(mask: np.ndarray, pts: np.ndarray) -> None:
+    """1-px Bresenham polyline (cv2.polylines thickness=1 equivalent).
+
+    ``pts`` is int[K, 2] as (col, row).
+    """
+    h, w = mask.shape
+    for i in range(len(pts) - 1):
+        x0, y0 = int(pts[i, 0]), int(pts[i, 1])
+        x1, y1 = int(pts[i + 1, 0]), int(pts[i + 1, 1])
+        dx, dy = abs(x1 - x0), abs(y1 - y0)
+        n = max(dx, dy)
+        if n == 0:
+            if 0 <= y0 < h and 0 <= x0 < w:
+                mask[y0, x0] = 1
+            continue
+        xs = np.round(np.linspace(x0, x1, n + 1)).astype(int)
+        ys = np.round(np.linspace(y0, y1, n + 1)).astype(int)
+        ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        mask[ys[ok], xs[ok]] = 1
+
+
+# ---------------------------------------------------------------------------
+# Ego-centric rasterization (parity path)
+# ---------------------------------------------------------------------------
+
+def _world_to_pixels(pts_world: np.ndarray, ego_tf: np.ndarray, grid: GridConfig) -> np.ndarray:
+    """World xy -> rounded (col, row); in-bounds filtered (utils.py:131-144)."""
+    if pts_world.shape[0] == 0:
+        return np.empty((0, 2), dtype=int)
+    ego = pts_world @ ego_tf[:2, :2].T + ego_tf[:2, 2]
+    col = grid.pixel_offset_x + ego[:, 1] / grid.voxel_size_m
+    row = grid.pixel_offset_y - ego[:, 0] / grid.voxel_size_m
+    px = np.round(np.stack([col, row], axis=1)).astype(int)
+    ok = (px[:, 0] >= 0) & (px[:, 0] < grid.width_px) & (px[:, 1] >= 0) & (px[:, 1] < grid.height_px)
+    return px[ok]
+
+
+def rasterize_map_ego_centric(
+    elements: MapElements,
+    ego_pose,
+    grid: GridConfig,
+) -> np.ndarray:
+    """9-channel ego-centric map raster, f32[H, W, 9] (channels-last).
+
+    ``ego_pose`` is anything exposing tx_m, ty_m, qx..qw (pandas Series or
+    dict). Mirrors reference utils.py:108-182 including the in-bounds point
+    filtering *before* polygon construction.
+    """
+    h, w = grid.height_px, grid.width_px
+    out = np.zeros((grid.map_channels, h, w), dtype=np.uint8)
+
+    tx = float(ego_pose["tx_m"])
+    ty = float(ego_pose["ty_m"])
+    yaw = float(
+        quat_to_yaw(ego_pose["qx"], ego_pose["qy"], ego_pose["qz"], ego_pose["qw"])
+    )
+    ego_tf = ego_centric_transform_matrix(np.array([tx, ty]), yaw)
+
+    for lane in elements.lanes:
+        left_px = _world_to_pixels(lane.left_boundary, ego_tf, grid)
+        right_px = _world_to_pixels(lane.right_boundary, ego_tf, grid)
+
+        if len(left_px) > 1 and len(right_px) > 1:
+            poly = np.vstack([left_px, np.flipud(right_px)])
+            if poly.shape[0] >= 3:
+                fill_polygon(out[0], poly)
+                if lane.is_intersection:
+                    fill_polygon(out[4], poly)
+                if lane.lane_type == "BUS":
+                    fill_polygon(out[5], poly)
+        if len(left_px) > 1:
+            draw_polyline(out[1], left_px)
+        if len(right_px) > 1:
+            draw_polyline(out[2], right_px)
+        if lane.left_mark_type in _MARK_CHANNELS and len(left_px) > 1:
+            draw_polyline(out[_MARK_CHANNELS[lane.left_mark_type]], left_px)
+        if lane.right_mark_type in _MARK_CHANNELS and len(right_px) > 1:
+            draw_polyline(out[_MARK_CHANNELS[lane.right_mark_type]], right_px)
+
+    for cw in elements.crosswalks:
+        px = _world_to_pixels(cw, ego_tf, grid)
+        if len(px) >= 3:
+            fill_polygon(out[3], px)
+
+    return np.transpose(out, (1, 2, 0)).astype(np.float32)

@@ -1,0 +1,129 @@
+"""Multi-sweep LiDAR BEV voxelization.
+
+Reference semantics (utils.py:62-106): per sweep, points in the *current*
+ego frame are floored into the 400x720 grid; z in [z_min, z_max) is binned
+into 29 height slices; each (sweep, slice) channel takes the per-pixel
+**max intensity**; missing sweeps leave zero channels. Output layout here
+is channels-last f32[H, W, S*Z] with channel = sweep * Z + z_slice (the
+reference's [S*Z, H, W] transposed).
+
+TPU-native path: the host packs each sample's sweeps into a fixed-size
+padded tensor (``pack_points``) and the scatter-max runs on device inside
+the jitted step (``voxelize_packed``) — one XLA scatter-max per sample
+instead of the reference's 29-way python loop over ``np.maximum.at``
+(utils.py:98-105). ``voxelize_numpy`` is the host/oracle twin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import GridConfig
+
+
+def pack_points(
+    points_list: list[np.ndarray | None],
+    intensity_list: list[np.ndarray | None],
+    num_sweeps: int,
+    max_points_per_sweep: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged per-sweep point clouds -> fixed (f32[S, P, 4], bool[S, P]).
+
+    Columns: x, y, z (current-ego frame) and intensity. Sweeps beyond the
+    provided lists, ``None`` entries, and points beyond ``max_points_per_sweep``
+    (uniformly subsampled if overfull) are masked out — matching the
+    reference's zero-padding of missing sweeps (utils.py:69-75).
+    """
+    s, p = num_sweeps, max_points_per_sweep
+    packed = np.zeros((s, p, 4), dtype=np.float32)
+    valid = np.zeros((s, p), dtype=bool)
+    n = min(len(points_list), len(intensity_list), s)
+    for i in range(n):
+        pts, inten = points_list[i], intensity_list[i]
+        if pts is None or inten is None or len(pts) == 0:
+            continue
+        k = len(pts)
+        if k > p:
+            sel = np.linspace(0, k - 1, p).astype(np.int64)
+            pts, inten = pts[sel], inten[sel]
+            k = p
+        packed[i, :k, :3] = pts[:, :3]
+        packed[i, :k, 3] = inten
+        valid[i, :k] = True
+    return packed, valid
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def voxelize_packed(
+    points: jnp.ndarray, valid: jnp.ndarray, grid: GridConfig
+) -> jnp.ndarray:
+    """Device scatter-max voxelizer.
+
+    points f32[S, P, 4]; valid bool[S, P] -> bev f32[H, W, S*Z].
+    """
+    h, w = grid.height_px, grid.width_px
+    z_ch = grid.lidar_height_channels
+    s = points.shape[0]
+    c = s * z_ch
+
+    x = points[..., 0]
+    y = points[..., 1]
+    z = points[..., 2]
+    inten = points[..., 3]
+
+    col = jnp.floor(grid.pixel_offset_x + y / grid.voxel_size_m).astype(jnp.int32)
+    row = jnp.floor(grid.pixel_offset_y - x / grid.voxel_size_m).astype(jnp.int32)
+    ok = (
+        valid
+        & (col >= 0) & (col < w)
+        & (row >= 0) & (row < h)
+        & (z >= grid.z_min) & (z < grid.z_max)
+    )
+    zi = jnp.floor(
+        (z - grid.z_min) / (grid.z_max - grid.z_min) * z_ch
+    ).astype(jnp.int32)
+    zi = jnp.clip(zi, 0, z_ch - 1)
+
+    sweep_idx = jax.lax.broadcasted_iota(jnp.int32, points.shape[:2], 0)
+    channel = sweep_idx * z_ch + zi
+    flat = (row * w + col) * c + channel
+    flat = jnp.where(ok, flat, h * w * c)  # out-of-range -> dropped
+
+    bev = jnp.zeros((h * w * c,), dtype=jnp.float32)
+    bev = bev.at[flat.reshape(-1)].max(
+        jnp.where(ok, inten, -jnp.inf).reshape(-1).astype(jnp.float32), mode="drop"
+    )
+    return bev.reshape(h, w, c)
+
+
+def voxelize_numpy(
+    points_list: list[np.ndarray | None],
+    intensity_list: list[np.ndarray | None],
+    grid: GridConfig,
+    num_expected_sweeps: int | None = None,
+) -> np.ndarray:
+    """Host-side oracle; line-for-line semantics of utils.py:62-106 but
+    producing channels-last [H, W, S*Z]."""
+    s = num_expected_sweeps or grid.lidar_sweeps
+    h, w, z_ch = grid.height_px, grid.width_px, grid.lidar_height_channels
+    bev = np.zeros((h, w, z_ch * s), dtype=np.float32)
+    n = min(len(points_list), len(intensity_list))
+    for i in range(n):
+        pts, inten = points_list[i], intensity_list[i]
+        if pts is None or inten is None or pts.shape[0] == 0:
+            continue
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        col = np.floor(grid.pixel_offset_x + y / grid.voxel_size_m).astype(int)
+        row = np.floor(grid.pixel_offset_y - x / grid.voxel_size_m).astype(int)
+        ok = (col >= 0) & (col < w) & (row >= 0) & (row < h) & (z >= grid.z_min) & (z < grid.z_max)
+        col, row, zf, it = col[ok], row[ok], z[ok], inten[ok]
+        if len(col) == 0:
+            continue
+        zi = np.floor((zf - grid.z_min) / (grid.z_max - grid.z_min) * z_ch).astype(int)
+        zi = np.clip(zi, 0, z_ch - 1)
+        np.maximum.at(bev, (row, col, i * z_ch + zi), it.astype(np.float32))
+    return bev
