@@ -1,0 +1,362 @@
+"""Argoverse 2 sensor-dataset access: validation, sequencing, sample loading.
+
+Host-side layer feeding the device pipeline. Mirrors the reference's
+``ScenarioValidator`` / ``ArgoverseIntentNetDataset`` behaviour
+(dataset.py:27-367) with the same defensive semantics — per-reason skip
+counters, corrupt-sweep skips, None-sample filtering — but produces
+fixed-shape, device-ready tensors (packed point sweeps + padded GT) instead
+of ragged torch tensors, and caches per-log state (poses dict, GT arrays,
+parsed map) once instead of re-parsing the map JSON per sample
+(reference utils.py:112-114).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import NamedTuple
+
+import numpy as np
+
+from ..configs import GridConfig, VEHICLE_CATEGORIES
+from ..geometry import (
+    quat_to_yaw,
+    se3_from_quat_translation,
+    se3_inverse,
+    transform_points,
+)
+from ..bev.rasterize import MapElements, parse_map_json, rasterize_map_ego_centric
+
+
+class ScenarioPaths(NamedTuple):
+    log_dir: str
+    map_path: str
+    annotations_path: str
+
+
+class ScenarioValidator:
+    """Scan a split directory for structurally valid logs (dataset.py:27-134)."""
+
+    def __init__(
+        self,
+        base_path: str,
+        skip_known_corrupted: bool = True,
+        min_feather_size_bytes: int = 1024,
+        known_corrupted: set | None = None,
+        verbose: bool = True,
+    ):
+        self.base_path = Path(base_path)
+        self.skip_known_corrupted = skip_known_corrupted
+        self.min_feather_size_bytes = min_feather_size_bytes
+        self.known_corrupted = known_corrupted or set()
+        self.verbose = verbose
+
+    def find_valid_scenarios(self) -> list[ScenarioPaths]:
+        if not self.base_path.is_dir():
+            if self.verbose:
+                print(f"Error: base path is not a directory: {self.base_path}")
+            return []
+        valid = []
+        skipped_reasons: dict[str, int] = {}
+        skipped_corrupted = 0
+        scanned = 0
+        t0 = time.time()
+        for entry in sorted(self.base_path.iterdir()):
+            if not entry.is_dir():
+                continue
+            scanned += 1
+            if self.skip_known_corrupted and entry.name in self.known_corrupted:
+                skipped_corrupted += 1
+                continue
+            result = self._validate_scenario(entry)
+            if isinstance(result, ScenarioPaths):
+                valid.append(result)
+            else:
+                skipped_reasons[result] = skipped_reasons.get(result, 0) + 1
+        if self.verbose:
+            print(
+                f"Scenario scan: {scanned} dirs in {time.time() - t0:.2f}s; "
+                f"{len(valid)} valid, {skipped_corrupted} known-corrupted, "
+                f"{sum(skipped_reasons.values())} invalid"
+            )
+            for reason, count in skipped_reasons.items():
+                print(f"  - {reason}: {count}")
+        return valid
+
+    def _validate_scenario(self, scenario_dir: Path):
+        lidar_dir = scenario_dir / "sensors" / "lidar"
+        annotation_file = scenario_dir / "annotations.feather"
+        map_dir = scenario_dir / "map"
+        ego_pose_file = scenario_dir / "city_SE3_egovehicle.feather"
+        log_id = scenario_dir.name
+
+        required = {
+            "lidar directory": lidar_dir,
+            "annotations file": annotation_file,
+            "map directory": map_dir,
+            "ego pose file": ego_pose_file,
+        }
+        for name, p in required.items():
+            if not p.exists():
+                return f"missing {name}"
+            if p.is_dir() and not any(p.iterdir()):
+                return f"empty {name}"
+            if (
+                p.is_file()
+                and self.min_feather_size_bytes > 0
+                and p.stat().st_size < self.min_feather_size_bytes
+            ):
+                return f"undersized {name}"
+
+        if not any(lidar_dir.glob("*.feather")):
+            return "no feather files in lidar directory"
+
+        map_files = sorted(map_dir.glob(f"log_map_archive_{log_id}*.json"))
+        if not map_files:
+            map_files = sorted(map_dir.glob("log_map_archive_*.json"))
+            if not map_files:
+                return "no log_map_archive json in map directory"
+
+        return ScenarioPaths(
+            log_dir=str(scenario_dir),
+            map_path=str(map_files[0]),
+            annotations_path=str(annotation_file),
+        )
+
+
+@dataclass(frozen=True)
+class SequenceInfo:
+    log_id: str
+    log_dir: str
+    map_json_path: str
+    annotations_path: str
+    current_ts_ns: int
+    sweep_ts_list: tuple[int, ...]
+
+
+def build_sequence_index(
+    scenarios: list[ScenarioPaths], num_sweeps: int
+) -> list[SequenceInfo]:
+    """Sliding window of ``num_sweeps`` per log (dataset.py:174-211)."""
+    sequences: list[SequenceInfo] = []
+    for sc in scenarios:
+        log_dir = Path(sc.log_dir)
+        lidar_dir = log_dir / "sensors" / "lidar"
+        try:
+            timestamps = sorted(int(p.stem) for p in lidar_dir.glob("*.feather"))
+        except ValueError:
+            continue
+        if len(timestamps) < num_sweeps:
+            continue
+        for i in range(len(timestamps) - num_sweeps + 1):
+            window = tuple(timestamps[i : i + num_sweeps])
+            sequences.append(
+                SequenceInfo(
+                    log_id=log_dir.name,
+                    log_dir=str(log_dir),
+                    map_json_path=sc.map_path,
+                    annotations_path=sc.annotations_path,
+                    current_ts_ns=window[-1],
+                    sweep_ts_list=window,
+                )
+            )
+    return sequences
+
+
+def prepare_gt_for_frame(
+    current_ts_ns: int, gt_df, max_gt: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Frame GT -> padded (boxes f32[G,5], intents i32[G], valid bool[G]).
+
+    Filter: frame timestamp, vehicle categories, heuristic_intent != -1
+    (reference utils.py:184-225). Boxes are (cx, cy, |w|, |l|, yaw) in the
+    ego frame (annotations are already ego-frame in AV2).
+    """
+    boxes = np.zeros((max_gt, 5), dtype=np.float32)
+    intents = np.zeros((max_gt,), dtype=np.int32)
+    valid = np.zeros((max_gt,), dtype=bool)
+    if "heuristic_intent" not in gt_df.columns:
+        return boxes, intents, valid
+    frame = gt_df[
+        (gt_df["timestamp_ns"] == current_ts_ns)
+        & (gt_df["category"].isin(VEHICLE_CATEGORIES))
+        & (gt_df["heuristic_intent"] != -1)
+    ]
+    k = min(len(frame), max_gt)
+    if k == 0:
+        return boxes, intents, valid
+    sub = frame.iloc[:k]
+    yaw = quat_to_yaw(
+        sub["qx"].to_numpy(), sub["qy"].to_numpy(),
+        sub["qz"].to_numpy(), sub["qw"].to_numpy(),
+    )
+    boxes[:k, 0] = sub["tx_m"].to_numpy()
+    boxes[:k, 1] = sub["ty_m"].to_numpy()
+    boxes[:k, 2] = np.abs(sub["width_m"].to_numpy())
+    boxes[:k, 3] = np.abs(sub["length_m"].to_numpy())
+    boxes[:k, 4] = yaw
+    intents[:k] = sub["heuristic_intent"].to_numpy().astype(np.int32)
+    valid[:k] = True
+    return boxes, intents, valid
+
+
+class Sample(NamedTuple):
+    """Host-side fixed-shape sample, ready for device transfer."""
+
+    points: np.ndarray       # f32[S, P, 4]
+    points_valid: np.ndarray  # bool[S, P]
+    map_bev: np.ndarray      # f32[H, W, 9]
+    gt_boxes: np.ndarray     # f32[G, 5]
+    gt_intentions: np.ndarray  # i32[G]
+    gt_valid: np.ndarray     # bool[G]
+
+
+class ArgoverseSampleLoader:
+    """Per-log-cached sample production (dataset.py:213-367 equivalent).
+
+    Returns ``None`` for unproducible samples (missing pose / all sweeps
+    corrupt / missing intent file), matching the reference's fault-tolerant
+    data path; the batcher drops them (dataset.py:137-150).
+    """
+
+    def __init__(
+        self,
+        grid: GridConfig,
+        max_points_per_sweep: int = 65536,
+        max_gt: int = 128,
+        require_intent_labels: bool = True,
+        verbose: bool = True,
+    ):
+        self.grid = grid
+        self.max_points_per_sweep = max_points_per_sweep
+        self.max_gt = max_gt
+        self.require_intent_labels = require_intent_labels
+        self.verbose = verbose
+        self._log_cache: dict[str, dict | None] = {}
+
+    # -- per-log cache ----------------------------------------------------
+    def _get_log_data(self, seq: SequenceInfo) -> dict | None:
+        import pandas as pd
+
+        if seq.log_id in self._log_cache:
+            return self._log_cache[seq.log_id]
+        try:
+            log_dir = Path(seq.log_dir)
+            intent_file = log_dir / "annotations_with_intent.feather"
+            if intent_file.is_file():
+                gt_df = pd.read_feather(intent_file)
+            elif self.require_intent_labels:
+                if self.verbose:
+                    print(
+                        f"ERROR: pre-computed intent file missing for log "
+                        f"{seq.log_id}; run intentbev-precompute-labels."
+                    )
+                self._log_cache[seq.log_id] = None
+                return None
+            else:
+                gt_df = pd.read_feather(seq.annotations_path)
+
+            poses_df = pd.read_feather(log_dir / "city_SE3_egovehicle.feather")
+            poses = {
+                int(r.timestamp_ns): r for r in poses_df.itertuples(index=False)
+            }
+            elements = parse_map_json(seq.map_json_path)
+            self._log_cache[seq.log_id] = {
+                "gt_df": gt_df,
+                "poses": poses,
+                "map_elements": elements,
+                "map_raster_cache": {},
+            }
+        except Exception as e:  # noqa: BLE001 - fault-tolerant data path
+            if self.verbose:
+                print(f"Error caching log {seq.log_id}: {e}")
+            self._log_cache[seq.log_id] = None
+        return self._log_cache[seq.log_id]
+
+    # -- sample production -------------------------------------------------
+    def load(self, seq: SequenceInfo) -> Sample | None:
+        import pandas as pd
+        import pyarrow
+
+        log_data = self._get_log_data(seq)
+        if log_data is None:
+            return None
+        poses = log_data["poses"]
+
+        pose = poses.get(seq.current_ts_ns)
+        if pose is None:
+            return None
+        try:
+            world_se3_ego = se3_from_quat_translation(
+                [pose.qx, pose.qy, pose.qz, pose.qw],
+                [pose.tx_m, pose.ty_m, pose.tz_m],
+            )
+        except ValueError:
+            return None
+        ego_se3_world = se3_inverse(world_se3_ego)
+
+        s = len(seq.sweep_ts_list)
+        packed = np.zeros((s, self.max_points_per_sweep, 4), dtype=np.float32)
+        packed_valid = np.zeros((s, self.max_points_per_sweep), dtype=bool)
+        lidar_base = Path(seq.log_dir) / "sensors" / "lidar"
+        any_sweep = False
+        for i, ts in enumerate(seq.sweep_ts_list):
+            sweep_path = lidar_base / f"{ts}.feather"
+            if not sweep_path.is_file():
+                continue
+            try:
+                df = pd.read_feather(sweep_path, columns=["x", "y", "z", "intensity"])
+            except (pyarrow.ArrowInvalid, OSError):
+                if self.verbose:
+                    print(f"Warning: corrupt sweep {sweep_path}; skipping")
+                continue
+            if df.empty:
+                continue
+            sweep_pose = poses.get(int(ts))
+            if sweep_pose is None:
+                continue
+            try:
+                sweep_world = se3_from_quat_translation(
+                    [sweep_pose.qx, sweep_pose.qy, sweep_pose.qz, sweep_pose.qw],
+                    [sweep_pose.tx_m, sweep_pose.ty_m, sweep_pose.tz_m],
+                )
+            except ValueError:
+                continue
+            rel = ego_se3_world @ sweep_world
+            pts = transform_points(
+                df[["x", "y", "z"]].to_numpy(np.float64), rel
+            ).astype(np.float32)
+            inten = df["intensity"].to_numpy(np.float32)
+            k = len(pts)
+            if k > self.max_points_per_sweep:
+                sel = np.linspace(0, k - 1, self.max_points_per_sweep).astype(np.int64)
+                pts, inten = pts[sel], inten[sel]
+                k = self.max_points_per_sweep
+            packed[i, :k, :3] = pts
+            packed[i, :k, 3] = inten
+            packed_valid[i, :k] = True
+            any_sweep = True
+        if not any_sweep:
+            return None
+
+        map_bev = self._rasterize_cached(log_data, pose)
+        gt_boxes, gt_intents, gt_valid = prepare_gt_for_frame(
+            seq.current_ts_ns, log_data["gt_df"], self.max_gt
+        )
+        return Sample(packed, packed_valid, map_bev, gt_boxes, gt_intents, gt_valid)
+
+    def _rasterize_cached(self, log_data: dict, pose) -> np.ndarray:
+        cache = log_data["map_raster_cache"]
+        key = (round(float(pose.tx_m), 2), round(float(pose.ty_m), 2),
+               round(float(quat_to_yaw(pose.qx, pose.qy, pose.qz, pose.qw)), 3))
+        if key not in cache:
+            if len(cache) > 64:
+                cache.clear()
+            cache[key] = rasterize_map_ego_centric(
+                log_data["map_elements"],
+                {"tx_m": pose.tx_m, "ty_m": pose.ty_m, "qx": pose.qx,
+                 "qy": pose.qy, "qz": pose.qz, "qw": pose.qw},
+                self.grid,
+            )
+        return cache[key]

@@ -1,0 +1,179 @@
+"""Synthetic Argoverse-2-layout log generator for tests and CI.
+
+Writes a fake AV2 sensor log directory exactly where the real dataset layout
+is consumed (reference dataset.py:101-127, README.md:147-166):
+
+    <root>/<log_id>/
+        sensors/lidar/<ts>.feather          (x, y, z, intensity)
+        annotations.feather                 (AV2 cuboid schema)
+        city_SE3_egovehicle.feather         (timestamp_ns, q*, t*)
+        map/log_map_archive_<log_id>.json   (lane_segments, crossings)
+
+This replaces the reference's hard dependency on the real dataset for
+integration testing (SURVEY.md §4 item 2). Scenes contain an ego moving
+at constant velocity plus a handful of scripted vehicle tracks whose
+ground-truth intentions are known by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from pathlib import Path
+
+import numpy as np
+
+
+def _pose_row(ts, x, y, yaw):
+    return {
+        "timestamp_ns": int(ts),
+        "qw": float(np.cos(yaw / 2)),
+        "qx": 0.0,
+        "qy": 0.0,
+        "qz": float(np.sin(yaw / 2)),
+        "tx_m": float(x),
+        "ty_m": float(y),
+        "tz_m": 0.0,
+    }
+
+
+def write_synthetic_log(
+    root: str | Path,
+    log_id: str | None = None,
+    num_frames: int = 20,
+    points_per_sweep: int = 2000,
+    seed: int = 0,
+    ego_speed: float = 5.0,
+    vehicles: list[dict] | None = None,
+) -> Path:
+    """Create one synthetic log; returns its directory.
+
+    ``vehicles``: list of dicts with keys ``start`` (xy), ``velocity`` (xy),
+    ``yaw``, ``category`` — straight-moving tracks. Defaults to two cars:
+    one keeping lane ahead of ego, one parked to the side.
+    """
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    log_id = log_id or uuid.uuid4().hex[:16]
+    log_dir = Path(root) / log_id
+    lidar_dir = log_dir / "sensors" / "lidar"
+    map_dir = log_dir / "map"
+    lidar_dir.mkdir(parents=True, exist_ok=True)
+    map_dir.mkdir(parents=True, exist_ok=True)
+
+    dt_ns = 100_000_000  # 10 Hz
+    ts0 = 315_970_000_000_000_000
+    timestamps = [ts0 + i * dt_ns for i in range(num_frames)]
+
+    # --- ego poses: straight along world +x
+    poses = [_pose_row(ts, ego_speed * i * 0.1, 0.0, 0.0) for i, ts in enumerate(timestamps)]
+    pd.DataFrame(poses).to_feather(log_dir / "city_SE3_egovehicle.feather")
+
+    # --- vehicles
+    if vehicles is None:
+        vehicles = [
+            {"start": (15.0, 0.0), "velocity": (5.0, 0.0), "yaw": 0.0,
+             "category": "REGULAR_VEHICLE"},
+            {"start": (10.0, 6.0), "velocity": (0.0, 0.0), "yaw": 0.0,
+             "category": "REGULAR_VEHICLE"},
+        ]
+    ann_rows = []
+    track_ids = []
+    for v in vehicles:
+        tid = uuid.uuid4().hex
+        track_ids.append(tid)
+        for i, ts in enumerate(timestamps):
+            x = v["start"][0] + v["velocity"][0] * i * 0.1
+            y = v["start"][1] + v["velocity"][1] * i * 0.1
+            yaw = v.get("yaw", 0.0)
+            if "yaw_rate" in v:
+                yaw = v["yaw"] + v["yaw_rate"] * i * 0.1
+            ann_rows.append({
+                "timestamp_ns": int(ts),
+                "track_uuid": tid,
+                "category": v.get("category", "REGULAR_VEHICLE"),
+                "length_m": v.get("length", 4.5),
+                "width_m": v.get("width", 2.0),
+                "height_m": 1.6,
+                "qw": float(np.cos(yaw / 2)), "qx": 0.0, "qy": 0.0,
+                "qz": float(np.sin(yaw / 2)),
+                # annotations are in the ego frame at each timestamp (AV2
+                # convention; reference utils.py:204-216 uses them directly)
+                "tx_m": float(x - ego_pos(i, ego_speed)[0]),
+                "ty_m": float(y),
+                "tz_m": 0.5,
+                "num_interior_pts": 50,
+            })
+    pd.DataFrame(ann_rows).to_feather(log_dir / "annotations.feather")
+
+    # --- lidar sweeps: ground plane + boxes around each vehicle (world frame
+    # shifted into per-sweep ego frame; reference transforms sweeps between
+    # ego frames via poses, dataset.py:298-341)
+    for i, ts in enumerate(timestamps):
+        ex, _ = ego_pos(i, ego_speed)
+        ground = np.stack([
+            rng.uniform(-20, 60, points_per_sweep // 2),
+            rng.uniform(-40, 40, points_per_sweep // 2),
+            rng.uniform(-1.9, -1.6, points_per_sweep // 2),
+        ], axis=1)
+        vpts = []
+        for v in vehicles:
+            vx = v["start"][0] + v["velocity"][0] * i * 0.1 - ex
+            vy = v["start"][1] + v["velocity"][1] * i * 0.1
+            vpts.append(np.stack([
+                rng.uniform(vx - 2.2, vx + 2.2, 120),
+                rng.uniform(vy - 1.0, vy + 1.0, 120),
+                rng.uniform(-1.2, 0.6, 120),
+            ], axis=1))
+        pts = np.concatenate([ground] + vpts, axis=0).astype(np.float32)
+        df = pd.DataFrame({
+            "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+            "intensity": rng.uniform(0, 255, len(pts)).astype(np.float32),
+            "laser_number": np.zeros(len(pts), dtype=np.uint8),
+            "offset_ns": np.zeros(len(pts), dtype=np.int32),
+        })
+        df.to_feather(lidar_dir / f"{ts}.feather")
+
+    # --- map: one straight lane along world x + a crosswalk
+    xs = np.arange(-30.0, 120.0, 5.0)
+    def boundary(yy):
+        return [{"x": float(x), "y": float(yy), "z": 0.0} for x in xs]
+
+    map_data = {
+        "lane_segments": {
+            "100": {
+                "id": 100,
+                "is_intersection": False,
+                "lane_type": "VEHICLE",
+                "left_lane_boundary": boundary(3.5),
+                "right_lane_boundary": boundary(-3.5),
+                "left_lane_mark_type": "SOLID_YELLOW",
+                "right_lane_mark_type": "SOLID_WHITE",
+                "successors": [],
+                "predecessors": [],
+            }
+        },
+        "pedestrian_crossings": {
+            "200": {
+                "id": 200,
+                "polygon": [
+                    {"x": 30.0, "y": -5.0, "z": 0.0},
+                    {"x": 32.0, "y": -5.0, "z": 0.0},
+                    {"x": 32.0, "y": 5.0, "z": 0.0},
+                    {"x": 30.0, "y": 5.0, "z": 0.0},
+                ],
+                "edge1": [{"x": 30.0, "y": -5.0, "z": 0.0}, {"x": 30.0, "y": 5.0, "z": 0.0}],
+                "edge2": [{"x": 32.0, "y": -5.0, "z": 0.0}, {"x": 32.0, "y": 5.0, "z": 0.0}],
+            }
+        },
+        "drivable_areas": {},
+    }
+    with open(map_dir / f"log_map_archive_{log_id}.json", "w") as f:
+        json.dump(map_data, f)
+
+    return log_dir
+
+
+def ego_pos(frame_idx: int, ego_speed: float) -> tuple[float, float]:
+    return (ego_speed * frame_idx * 0.1, 0.0)

@@ -1,0 +1,189 @@
+"""Data-layer tests: synthetic log fixture, validator, sequences, loader,
+heuristic labeling per intent class, precompute CLI."""
+
+import numpy as np
+import pytest
+
+from intentbev.configs import GridConfig, HeuristicConfig, INTENTIONS_MAP
+from intentbev.data.argoverse import (
+    ArgoverseSampleLoader,
+    ScenarioValidator,
+    build_sequence_index,
+)
+from intentbev.data.synthetic import write_synthetic_log
+from intentbev.labeling.heuristic import MapContext, label_track
+from intentbev.precompute_labels import run as precompute_run
+
+GRID = GridConfig(height_px=64, width_px=96, lidar_height_channels=4, lidar_sweeps=3)
+
+
+@pytest.fixture(scope="module")
+def split_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("av2") / "train"
+    root.mkdir()
+    write_synthetic_log(root, log_id="synthlog0001", num_frames=12, seed=0)
+    write_synthetic_log(root, log_id="synthlog0002", num_frames=8, seed=1)
+    # an invalid log: directory without required files
+    (root / "invalidlog").mkdir()
+    return root
+
+
+class TestValidatorAndSequences:
+    def test_finds_valid_scenarios(self, split_dir):
+        v = ScenarioValidator(str(split_dir), verbose=False)
+        scenarios = v.find_valid_scenarios()
+        assert len(scenarios) == 2
+        ids = {s.log_dir.split("/")[-1] for s in scenarios}
+        assert ids == {"synthlog0001", "synthlog0002"}
+
+    def test_sequence_windows(self, split_dir):
+        v = ScenarioValidator(str(split_dir), verbose=False)
+        seqs = build_sequence_index(v.find_valid_scenarios(), num_sweeps=3)
+        # 12-3+1 + 8-3+1 = 10 + 6
+        assert len(seqs) == 16
+        s0 = seqs[0]
+        assert len(s0.sweep_ts_list) == 3
+        assert s0.current_ts_ns == s0.sweep_ts_list[-1]
+
+    def test_missing_split_dir(self, tmp_path):
+        v = ScenarioValidator(str(tmp_path / "nope"), verbose=False)
+        assert v.find_valid_scenarios() == []
+
+
+class TestHeuristicLabeling:
+    """Synthetic tracks per intent class (SURVEY §4 unit-test strategy).
+
+    Tracks are in the reference's coordinate convention: the annotation
+    positions the heuristic consumes (ego-frame per AV2, but the heuristic
+    treats them as a plain trajectory)."""
+
+    def _track(self, xs, ys, yaws, dt_s=0.1):
+        n = len(xs)
+        ts = (np.arange(n) * dt_s * 1e9).astype(np.int64)
+        xy = np.stack([xs, ys], axis=1).astype(np.float64)
+        quats = np.stack(
+            [np.zeros(n), np.zeros(n), np.sin(np.asarray(yaws) / 2), np.cos(np.asarray(yaws) / 2)],
+            axis=1,
+        )
+        return ts, xy, quats
+
+    def test_parked(self):
+        ts, xy, q = self._track(np.zeros(40), np.zeros(40), np.zeros(40))
+        labels = label_track(ts, xy, q, HeuristicConfig())
+        assert labels[0] == INTENTIONS_MAP["PARKED"]
+
+    def test_stopping(self):
+        # decelerating: moves 1.5 m over 3 s -> avg 0.5 m/s boundary; use 1.2m
+        xs = np.concatenate([np.linspace(0, 1.2, 31), np.full(10, 1.2)])
+        ts, xy, q = self._track(xs, np.zeros_like(xs), np.zeros_like(xs))
+        labels = label_track(ts, xy, q, HeuristicConfig())
+        assert labels[0] == INTENTIONS_MAP["STOPPING_STOPPED"]
+
+    def test_keep_lane_fallback(self):
+        xs = np.arange(40) * 0.5  # 5 m/s straight
+        ts, xy, q = self._track(xs, np.zeros_like(xs), np.zeros_like(xs))
+        labels = label_track(ts, xy, q, HeuristicConfig())
+        assert labels[0] == INTENTIONS_MAP["KEEP_LANE"]
+
+    def test_turn_left_right(self):
+        n = 40
+        yaw_l = np.linspace(0, np.radians(45), n)
+        xs = np.cumsum(np.cos(yaw_l)) * 0.5
+        ys = np.cumsum(np.sin(yaw_l)) * 0.5
+        ts, xy, q = self._track(xs, ys, yaw_l)
+        assert label_track(ts, xy, q, HeuristicConfig())[0] == INTENTIONS_MAP["TURN_LEFT"]
+        ts, xy, q = self._track(xs, -ys, -yaw_l)
+        assert label_track(ts, xy, q, HeuristicConfig())[0] == INTENTIONS_MAP["TURN_RIGHT"]
+
+    def test_lane_change(self):
+        n = 40
+        # drift ~10 deg heading change over the horizon
+        yaw = np.linspace(0, np.radians(10), n)
+        xs = np.cumsum(np.cos(yaw)) * 0.5
+        ys = np.cumsum(np.sin(yaw)) * 0.5
+        ts, xy, q = self._track(xs, ys, yaw)
+        assert label_track(ts, xy, q, HeuristicConfig())[0] == INTENTIONS_MAP["LEFT_CHANGE_LANE"]
+        ts, xy, q = self._track(xs, -ys, -yaw)
+        assert label_track(ts, xy, q, HeuristicConfig())[0] == INTENTIONS_MAP["RIGHT_CHANGE_LANE"]
+
+    def test_too_short_track_is_other(self):
+        ts, xy, q = self._track(np.arange(4) * 0.5, np.zeros(4), np.zeros(4))
+        labels = label_track(ts, xy, q, HeuristicConfig())
+        assert (labels == INTENTIONS_MAP["OTHER"]).all()
+
+    def test_keep_lane_with_map_polygons(self, split_dir):
+        from intentbev.bev.rasterize import parse_map_json
+
+        elements = parse_map_json(
+            str(split_dir / "synthlog0001" / "map" / "log_map_archive_synthlog0001.json")
+        )
+        ctx = MapContext(elements)
+        # straight track inside the lane (|y| < 3.5)
+        xs = np.arange(40) * 0.5
+        ts, xy, q = (
+            (np.arange(40) * 1e8).astype(np.int64),
+            np.stack([xs, np.full(40, 0.5)], 1),
+            np.stack([np.zeros(40), np.zeros(40), np.zeros(40), np.ones(40)], 1),
+        )
+        labels = label_track(ts, xy, q, HeuristicConfig(), ctx)
+        assert labels[0] == INTENTIONS_MAP["KEEP_LANE"]
+        # straight track far outside any lane polygon: polygons checked, not
+        # contained -> OTHER (no kinematic fallback once polygons exist)...
+        # but being >5 m from any lane means NO map context -> fallback applies
+        xy2 = np.stack([xs, np.full(40, 30.0)], 1)
+        labels2 = label_track(ts, xy2, q, HeuristicConfig(), ctx)
+        assert labels2[0] == INTENTIONS_MAP["KEEP_LANE"]
+
+
+class TestLoaderAndPrecompute:
+    def test_precompute_then_load(self, split_dir):
+        totals = precompute_run(str(split_dir.parent), [split_dir.name], force=True)
+        assert totals["ok"] == 2 and totals["failed"] == 0
+        import pandas as pd
+        df = pd.read_feather(split_dir / "synthlog0001" / "annotations_with_intent.feather")
+        assert "heuristic_intent" in df.columns
+        assert (df["heuristic_intent"] >= -1).all()
+        # vehicle rows got labels
+        assert (df["heuristic_intent"] >= 0).any()
+
+        v = ScenarioValidator(str(split_dir), verbose=False)
+        seqs = build_sequence_index(v.find_valid_scenarios(), num_sweeps=3)
+        loader = ArgoverseSampleLoader(GRID, max_points_per_sweep=4096, max_gt=16,
+                                       verbose=False)
+        sample = loader.load(seqs[0])
+        assert sample is not None
+        assert sample.points.shape == (3, 4096, 4)
+        assert sample.map_bev.shape == (64, 96, 9)
+        assert sample.gt_valid.sum() >= 1
+        # GT boxes are ego-frame; the lead vehicle starts 15 m ahead
+        gt0 = sample.gt_boxes[sample.gt_valid][0]
+        assert 0 < gt0[0] < 40
+
+    def test_loader_missing_intent_file_returns_none(self, tmp_path):
+        root = tmp_path / "train"
+        root.mkdir()
+        write_synthetic_log(root, log_id="nolabels0001", num_frames=5, seed=3)
+        v = ScenarioValidator(str(root), verbose=False)
+        seqs = build_sequence_index(v.find_valid_scenarios(), num_sweeps=3)
+        loader = ArgoverseSampleLoader(GRID, max_points_per_sweep=512, max_gt=8,
+                                       verbose=False)
+        assert loader.load(seqs[0]) is None
+        # with labels not required, the loader degrades gracefully: sample
+        # loads but has zero GT (no heuristic_intent column)
+        loader2 = ArgoverseSampleLoader(GRID, max_points_per_sweep=512, max_gt=8,
+                                        require_intent_labels=False, verbose=False)
+        s = loader2.load(seqs[0])
+        assert s is not None and s.gt_valid.sum() == 0
+
+    def test_sample_feeds_device_pipeline(self, split_dir):
+        import jax.numpy as jnp
+        from intentbev.bev.voxelize import voxelize_packed
+
+        v = ScenarioValidator(str(split_dir), verbose=False)
+        seqs = build_sequence_index(v.find_valid_scenarios(), num_sweeps=3)
+        loader = ArgoverseSampleLoader(GRID, max_points_per_sweep=4096, max_gt=16,
+                                       verbose=False)
+        sample = loader.load(seqs[5])
+        bev = voxelize_packed(jnp.asarray(sample.points), jnp.asarray(sample.points_valid), GRID)
+        assert bev.shape == (64, 96, 12)
+        assert float(bev.max()) > 0
