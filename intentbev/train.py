@@ -1,0 +1,297 @@
+"""Training CLI + jitted train step for IntentNetCNN / IntentNetViT.
+
+Equivalent of reference ``train_cnn.py`` / ``train_vit.py`` rebuilt
+TPU-first: ONE compiled XLA program per step containing device-side
+voxelization, augmentation, the model forward/backward, loss, and the
+optimizer update; the host only feeds packed point tensors (prefetched and
+double-buffered) and reads back five scalars per log interval.
+
+Reference training regime for parity (train_vit.py:19-23, 130-131):
+batch 8, 10 epochs, AdamW lr 1e-4 wd 1e-4, ReduceLROnPlateau(factor 0.1,
+patience 3) stepped per epoch on the mean loss; NaN batches skipped
+(train_vit.py:161-169 — here the loss's internal NaN guard zeroes the
+update instead, and a debug flag enables jax.debug_nans).
+
+Usage:
+    intentbev-train --data_dir /path/av2/sensor/train --model vit \
+        --out_dir ./runs/vit [--epochs 10] [--batch_size 8] [--tiny-smoke]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .bev.augment import batched_augment_bev
+from .bev.voxelize import voxelize_packed
+from .boxes.anchors import generate_anchors
+from .checkpoint import save_checkpoint
+from .configs import (
+    ExperimentConfig,
+    default_cnn_config,
+    default_vit_config,
+    tiny_test_config,
+)
+from .data.argoverse import ArgoverseSampleLoader, ScenarioValidator, build_sequence_index
+from .data.pipeline import batch_iterator, device_prefetch
+from .losses import detection_intention_loss
+from .models import build_model
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    """AdamW with an injectable learning rate (host-driven plateau decay)."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.adamw(
+            learning_rate, weight_decay=cfg.train.weight_decay
+        )
+    )(learning_rate=cfg.train.learning_rate)
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau(mode=min, factor, patience) semantics
+    (reference train_vit.py:131, stepped per epoch on mean loss)."""
+
+    def __init__(self, base_lr: float, factor: float, patience: int):
+        self.lr = base_lr
+        self.factor = factor
+        self.patience = patience
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr *= self.factor
+                self.bad_epochs = 0
+        return self.lr
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Write the injected hyperparam in-place (pytree-functional)."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+def init_train_state(
+    model, cfg: ExperimentConfig, tx: optax.GradientTransformation, rng: jax.Array
+) -> TrainState:
+    g = cfg.grid
+    lidar = jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels))
+    mp = jnp.zeros((1, g.height_px, g.width_px, g.map_channels))
+    variables = model.init({"params": rng, "dropout": rng}, lidar, mp, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def make_train_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray, tx):
+    """Builds the single-program jitted train step.
+
+    batch fields (device arrays): points [B,S,P,4], points_valid [B,S,P],
+    map_bev [B,H,W,9], gt_boxes [B,G,5], gt_intentions [B,G], gt_valid [B,G].
+    """
+    grid, aug_cfg, loss_cfg = cfg.grid, cfg.augment, cfg.loss
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_aug, rng_loss, rng_drop = jax.random.split(rng, 3)
+
+        lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, grid))(
+            batch["points"], batch["points_valid"]
+        )
+        aug = batched_augment_bev(
+            lidar, batch["map_bev"], batch["gt_boxes"], batch["gt_intentions"],
+            batch["gt_valid"], rng_aug, aug_cfg, grid,
+        )
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables, aug.lidar_bev, aug.map_bev, train=True,
+                mutable=mutable, rngs={"dropout": rng_drop},
+            )
+            (cls_l, box_d, int_l), upd = out if mutable else (out, {})
+            loss_out = detection_intention_loss(
+                cls_l, box_d, int_l, anchors,
+                aug.gt_boxes, aug.gt_intentions, batch["gt_valid"],
+                loss_cfg, rng_loss,
+            )
+            return loss_out["loss"], (loss_out, upd.get("batch_stats", state.batch_stats))
+
+        (loss, (loss_out, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        metrics = {k: loss_out[k] for k in
+                   ("loss", "cls_loss", "box_loss", "intent_loss", "num_pos_anchors")}
+        return new_state, metrics
+
+    return train_step
+
+
+def train(
+    cfg: ExperimentConfig,
+    data_dir: str,
+    out_dir: str,
+    num_workers: int = 4,
+    max_steps: int | None = None,
+    log_fn=print,
+) -> dict:
+    """Full training loop; returns final epoch metrics."""
+    model = build_model(cfg, train_mode=True)
+    tx = make_optimizer(cfg)
+    rng = jax.random.key(cfg.train.seed)
+    state = init_train_state(model, cfg, tx, rng)
+    anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
+    train_step = make_train_step(model, cfg, anchors, tx)
+
+    scenarios = ScenarioValidator(data_dir).find_valid_scenarios()
+    if not scenarios:
+        raise ValueError(f"No valid scenarios found in {data_dir}")
+    sequences = build_sequence_index(scenarios, cfg.grid.lidar_sweeps)
+    if not sequences:
+        raise ValueError(f"No valid sequences in {data_dir}")
+    log_fn(f"{len(scenarios)} logs, {len(sequences)} sequences")
+
+    loader = ArgoverseSampleLoader(
+        cfg.grid, max_gt=cfg.loss.max_gt_boxes, verbose=False
+    )
+    scheduler = PlateauScheduler(
+        cfg.train.learning_rate, cfg.train.plateau_factor, cfg.train.plateau_patience
+    )
+    out_path = Path(out_dir)
+    step_count = 0
+    last_metrics: dict = {}
+    t_start = time.time()
+
+    for epoch in range(cfg.train.num_epochs):
+        it = batch_iterator(
+            sequences, loader, cfg.train.batch_size, shuffle=True,
+            seed=cfg.train.seed + epoch, num_workers=num_workers, drop_last=True,
+        )
+        accum = {"loss": 0.0, "cls_loss": 0.0, "box_loss": 0.0, "intent_loss": 0.0}
+        n_batches = 0
+        for batch in device_prefetch(iter(it), size=2):
+            bdict = batch._asdict()
+            state, metrics = train_step(state, bdict, rng)
+            step_count += 1
+            n_batches += 1
+            if step_count % cfg.train.log_every_steps == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = step_count * cfg.train.batch_size / (time.time() - t_start)
+                log_fn(
+                    f"epoch {epoch + 1} step {step_count} "
+                    f"loss {m['loss']:.4f} (cls {m['cls_loss']:.3f} "
+                    f"box {m['box_loss']:.3f} int {m['intent_loss']:.3f}) "
+                    f"#pos {m['num_pos_anchors']:.0f} "
+                    f"[{rate:.1f} samples/s]"
+                )
+            for k in accum:
+                accum[k] += float(metrics[k])
+            if step_count % cfg.train.checkpoint_every_steps == 0:
+                save_checkpoint(
+                    out_path, step_count,
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state, "step": state.step},
+                    cfg,
+                )
+            if max_steps is not None and step_count >= max_steps:
+                break
+        if n_batches:
+            last_metrics = {k: v / n_batches for k, v in accum.items()}
+            new_lr = scheduler.step(last_metrics["loss"])
+            state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+            log_fn(
+                f"epoch {epoch + 1} done: avg loss {last_metrics['loss']:.4f} "
+                f"lr {new_lr:.1e}"
+            )
+        if max_steps is not None and step_count >= max_steps:
+            break
+
+    save_checkpoint(
+        out_path, step_count,
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "opt_state": state.opt_state, "step": state.step},
+        cfg,
+    )
+    log_fn(f"saved final checkpoint at step {step_count} to {out_path}")
+    return last_metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--out_dir", default="./runs/intentbev")
+    p.add_argument("--model", choices=["vit", "cnn"], default="vit")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--tiny-smoke", action="store_true",
+                   help="tiny config for CI smoke runs on synthetic logs")
+    p.add_argument("--debug_nans", action="store_true")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    if args.tiny_smoke:
+        cfg = tiny_test_config()
+        cfg = dataclasses.replace(cfg, model_family=args.model)
+    else:
+        cfg = default_vit_config() if args.model == "vit" else default_cnn_config()
+    tr = cfg.train
+    if args.epochs is not None:
+        tr = dataclasses.replace(tr, num_epochs=args.epochs)
+    if args.batch_size is not None:
+        tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    if args.learning_rate is not None:
+        tr = dataclasses.replace(tr, learning_rate=args.learning_rate)
+    cfg = dataclasses.replace(cfg, train=tr)
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    train(cfg, args.data_dir, args.out_dir,
+          num_workers=args.num_workers, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()
