@@ -1,0 +1,196 @@
+// intentbev native host ops.
+//
+// First-party C++ replacements for the third-party native kernels the
+// reference leans on from its host data path (SURVEY.md §2.1): OpenCV's
+// fillPoly/polylines (utils.py:155-180), scipy's quaternion transforms
+// (dataset.py:293-341), and numpy's np.maximum.at scatter loop
+// (utils.py:98-105). These run in the input-pipeline worker threads and
+// release the GIL for real parallelism; Python binds them via ctypes
+// (intentbev/utils/native.py) with a pure-numpy fallback when the shared
+// library is absent.
+//
+// Build: cpp/build.sh  (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Scanline even-odd polygon fill into a uint8 mask (row-major h x w).
+// pts: int32 (col, row) pairs, n vertices. Matches the semantics of
+// intentbev.bev.rasterize.fill_polygon.
+// ---------------------------------------------------------------------------
+void ib_fill_polygon(uint8_t* mask, int64_t h, int64_t w,
+                     const int32_t* pts, int64_t n) {
+  if (n < 3) return;
+  double ymin = 1e30, ymax = -1e30;
+  for (int64_t i = 0; i < n; ++i) {
+    ymin = std::min(ymin, (double)pts[2 * i + 1]);
+    ymax = std::max(ymax, (double)pts[2 * i + 1]);
+  }
+  int64_t y0 = std::max<int64_t>((int64_t)std::floor(ymin), 0);
+  int64_t y1 = std::min<int64_t>((int64_t)std::ceil(ymax), h - 1);
+  std::vector<double> xs;
+  xs.reserve(16);
+  for (int64_t y = y0; y <= y1; ++y) {
+    const double yc = (double)y;
+    xs.clear();
+    for (int64_t i = 0; i < n; ++i) {
+      const double x1 = pts[2 * i], yy1 = pts[2 * i + 1];
+      const int64_t j = (i + 1) % n;
+      const double x2 = pts[2 * j], yy2 = pts[2 * j + 1];
+      const bool crosses = (yy1 <= yc && yy2 > yc) || (yy2 <= yc && yy1 > yc);
+      if (!crosses) continue;
+      const double t = (yc - yy1) / (yy2 - yy1);
+      xs.push_back(x1 + t * (x2 - x1));
+    }
+    if (xs.empty()) continue;
+    std::sort(xs.begin(), xs.end());
+    for (size_t k = 0; k + 1 < xs.size(); k += 2) {
+      int64_t a = std::max<int64_t>((int64_t)std::ceil(xs[k] - 0.5), 0);
+      int64_t b = std::min<int64_t>((int64_t)std::floor(xs[k + 1] + 0.5), w - 1);
+      if (b >= a) std::memset(mask + y * w + a, 1, (size_t)(b - a + 1));
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// 1-px polyline (sampled-line equivalent of intentbev draw_polyline).
+// ---------------------------------------------------------------------------
+void ib_draw_polyline(uint8_t* mask, int64_t h, int64_t w,
+                      const int32_t* pts, int64_t n) {
+  for (int64_t i = 0; i + 1 < n; ++i) {
+    const int64_t x0 = pts[2 * i], y0 = pts[2 * i + 1];
+    const int64_t x1 = pts[2 * i + 2], y1 = pts[2 * i + 3];
+    const int64_t steps = std::max(std::llabs(x1 - x0), std::llabs(y1 - y0));
+    if (steps == 0) {
+      if (y0 >= 0 && y0 < h && x0 >= 0 && x0 < w) mask[y0 * w + x0] = 1;
+      continue;
+    }
+    for (int64_t s = 0; s <= steps; ++s) {
+      const double t = (double)s / (double)steps;
+      const int64_t x = (int64_t)std::floor(x0 + t * (double)(x1 - x0) + 0.5);
+      const int64_t y = (int64_t)std::floor(y0 + t * (double)(y1 - y0) + 0.5);
+      if (y >= 0 && y < h && x >= 0 && x < w) mask[y * w + x] = 1;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Multi-sweep BEV scatter-max voxelizer (host twin of voxelize_packed).
+// points: f32 (x, y, z, intensity) * n, already in the current ego frame.
+// bev: f32 row-major [h, w, c] with c = z_channels * num_sweeps,
+// channel = sweep_idx * z_channels + z_slice.
+// ---------------------------------------------------------------------------
+void ib_voxelize_sweep(float* bev, int64_t h, int64_t w, int64_t c,
+                       const float* points, int64_t n, int64_t sweep_idx,
+                       int64_t z_channels, float voxel_size,
+                       float offset_col, float offset_row,
+                       float z_min, float z_max) {
+  const float inv_v = 1.0f / voxel_size;
+  const float z_scale = (float)z_channels / (z_max - z_min);
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = points[4 * i], y = points[4 * i + 1];
+    const float z = points[4 * i + 2], inten = points[4 * i + 3];
+    if (z < z_min || z >= z_max) continue;
+    const int64_t col = (int64_t)std::floor(offset_col + y * inv_v);
+    const int64_t row = (int64_t)std::floor(offset_row - x * inv_v);
+    if (col < 0 || col >= w || row < 0 || row >= h) continue;
+    int64_t zi = (int64_t)std::floor((z - z_min) * z_scale);
+    zi = std::min(std::max(zi, (int64_t)0), z_channels - 1);
+    float* cell = bev + (row * w + col) * c + sweep_idx * z_channels + zi;
+    if (inten > *cell) *cell = inten;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Rigid transform of Nx3 points by a row-major 4x4 matrix, f64 in/f32 out.
+// ---------------------------------------------------------------------------
+void ib_transform_points(const double* pts_in, int64_t n, const double* m,
+                         float* pts_out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const double x = pts_in[3 * i], y = pts_in[3 * i + 1], z = pts_in[3 * i + 2];
+    pts_out[3 * i] = (float)(m[0] * x + m[1] * y + m[2] * z + m[3]);
+    pts_out[3 * i + 1] = (float)(m[4] * x + m[5] * y + m[6] * z + m[7]);
+    pts_out[3 * i + 2] = (float)(m[8] * x + m[9] * y + m[10] * z + m[11]);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Pairwise rotated-rectangle IoU (Sutherland-Hodgman), host twin of the
+// device kernel in intentbev.boxes.iou — for host-side tooling/tests.
+// boxes: (cx, cy, w, l, yaw) * n. out: f32 [n1, n2].
+// ---------------------------------------------------------------------------
+static void box_corners(const float* b, double cx[4], double cy[4]) {
+  const double hw = b[2] / 2.0, hl = b[3] / 2.0;
+  const double ca = std::cos((double)b[4]), sa = std::sin((double)b[4]);
+  const double lx[4] = {-hw, hw, hw, -hw};
+  const double ly[4] = {-hl, -hl, hl, hl};
+  for (int k = 0; k < 4; ++k) {
+    cx[k] = lx[k] * ca - ly[k] * sa + b[0];
+    cy[k] = lx[k] * sa + ly[k] * ca + b[1];
+  }
+}
+
+static double clip_area(const double* px, const double* py,
+                        const double* qx, const double* qy) {
+  double ax[16], ay[16], bx[16], by[16];
+  int an = 4;
+  std::memcpy(ax, px, 4 * sizeof(double));
+  std::memcpy(ay, py, 4 * sizeof(double));
+  for (int e = 0; e < 4 && an > 0; ++e) {
+    const double x1 = qx[e], y1 = qy[e];
+    const double x2 = qx[(e + 1) % 4], y2 = qy[(e + 1) % 4];
+    const double ex = x2 - x1, ey = y2 - y1;
+    int bn = 0;
+    for (int i = 0; i < an; ++i) {
+      const int j = (i + 1) % an;
+      const double s_cur = ex * (ay[i] - y1) - ey * (ax[i] - x1);
+      const double s_nxt = ex * (ay[j] - y1) - ey * (ax[j] - x1);
+      const bool cin = s_cur >= 0, nin = s_nxt >= 0;
+      if (cin != nin) {
+        const double t = s_cur / (s_cur - s_nxt);
+        bx[bn] = ax[i] + t * (ax[j] - ax[i]);
+        by[bn] = ay[i] + t * (ay[j] - ay[i]);
+        ++bn;
+      }
+      if (nin) { bx[bn] = ax[j]; by[bn] = ay[j]; ++bn; }
+    }
+    an = bn;
+    std::memcpy(ax, bx, (size_t)bn * sizeof(double));
+    std::memcpy(ay, by, (size_t)bn * sizeof(double));
+  }
+  double area = 0.0;
+  for (int i = 0; i < an; ++i) {
+    const int j = (i + 1) % an;
+    area += ax[i] * ay[j] - ax[j] * ay[i];
+  }
+  return std::fabs(area) * 0.5;
+}
+
+void ib_rotated_iou(const float* boxes1, int64_t n1, const float* boxes2,
+                    int64_t n2, float* out) {
+  for (int64_t i = 0; i < n1; ++i) {
+    double pxi[4], pyi[4];
+    box_corners(boxes1 + 5 * i, pxi, pyi);
+    const double a1 = std::fabs((double)boxes1[5 * i + 2] * boxes1[5 * i + 3]);
+    for (int64_t j = 0; j < n2; ++j) {
+      double pxj[4], pyj[4];
+      box_corners(boxes2 + 5 * j, pxj, pyj);
+      const double a2 = std::fabs((double)boxes2[5 * j + 2] * boxes2[5 * j + 3]);
+      double v = 0.0;
+      if (a1 >= 1e-6 && a2 >= 1e-6) {
+        const double inter = clip_area(pxi, pyi, pxj, pyj);
+        const double uni = a1 + a2 - inter;
+        if (inter > 1e-7 && uni > 1e-6) v = inter / uni;
+      }
+      out[i * n2 + j] = (float)v;
+    }
+  }
+}
+
+}  // extern "C"

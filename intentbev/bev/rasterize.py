@@ -91,9 +91,15 @@ def fill_polygon(mask: np.ndarray, pts: np.ndarray) -> None:
 
     ``pts`` is int[K, 2] as (col, row) like cv2.fillPoly point order.
     Fills pixels whose integer coordinates are inside (or on a left/top
-    boundary of) the polygon — close to cv2's convention.
+    boundary of) the polygon — close to cv2's convention. Dispatches to the
+    C++ host library when built (cpp/intentbev_host.cpp); the numpy scanline
+    below is the fallback + oracle.
     """
     if pts.shape[0] < 3:
+        return
+    from ..utils.native import fill_polygon_native
+
+    if fill_polygon_native(mask, pts):
         return
     h, w = mask.shape
     px = pts[:, 0].astype(np.float64)
@@ -126,6 +132,10 @@ def draw_polyline(mask: np.ndarray, pts: np.ndarray) -> None:
 
     ``pts`` is int[K, 2] as (col, row).
     """
+    from ..utils.native import draw_polyline_native
+
+    if draw_polyline_native(mask, pts):
+        return
     h, w = mask.shape
     for i in range(len(pts) - 1):
         x0, y0 = int(pts[i, 0]), int(pts[i, 1])
@@ -136,8 +146,9 @@ def draw_polyline(mask: np.ndarray, pts: np.ndarray) -> None:
             if 0 <= y0 < h and 0 <= x0 < w:
                 mask[y0, x0] = 1
             continue
-        xs = np.round(np.linspace(x0, x1, n + 1)).astype(int)
-        ys = np.round(np.linspace(y0, y1, n + 1)).astype(int)
+        # floor(v + 0.5) = round-half-up, matching the C++ twin exactly
+        xs = np.floor(np.linspace(x0, x1, n + 1) + 0.5).astype(int)
+        ys = np.floor(np.linspace(y0, y1, n + 1) + 0.5).astype(int)
         ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
         mask[ys[ok], xs[ok]] = 1
 

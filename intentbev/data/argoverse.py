@@ -324,9 +324,12 @@ class ArgoverseSampleLoader:
             except ValueError:
                 continue
             rel = ego_se3_world @ sweep_world
-            pts = transform_points(
-                df[["x", "y", "z"]].to_numpy(np.float64), rel
-            ).astype(np.float32)
+            raw = df[["x", "y", "z"]].to_numpy(np.float64)
+            from ..utils.native import transform_points_native
+
+            pts = transform_points_native(raw, rel)
+            if pts is None:
+                pts = transform_points(raw, rel).astype(np.float32)
             inten = df["intensity"].to_numpy(np.float32)
             k = len(pts)
             if k > self.max_points_per_sweep:
