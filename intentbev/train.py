@@ -109,7 +109,32 @@ def init_train_state(
     )
 
 
-def make_train_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray, tx):
+def compute_intention_class_weights(
+    sequences, loader, num_classes: int = 8, max_sequences: int | None = None
+) -> np.ndarray:
+    """Inverse-frequency intention class weights from training GT.
+
+    Reference train_vit.py:92-115: counts over all GT labels, smoothed +1,
+    weights = total/counts, normalised to sum 1. Used by the loss only when
+    downsampling is off (train_vit.py:121).
+    """
+    counts = np.zeros(num_classes, dtype=np.int64)
+    for seq in sequences[: max_sequences or len(sequences)]:
+        s = loader.load(seq)
+        if s is None:
+            continue
+        labels = s.gt_intentions[s.gt_valid]
+        labels = labels[(labels >= 0) & (labels < num_classes)]
+        np.add.at(counts, labels, 1)
+    total = counts.sum()
+    if total == 0:
+        return np.ones(num_classes, dtype=np.float32) / num_classes
+    weights = total / (counts + 1.0)
+    return (weights / weights.sum()).astype(np.float32)
+
+
+def make_train_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray, tx,
+                    intention_weights: jnp.ndarray | None = None):
     """Builds the single-program jitted train step.
 
     batch fields (device arrays): points [B,S,P,4], points_valid [B,S,P],
@@ -145,6 +170,7 @@ def make_train_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray, tx):
                 cls_l, box_d, int_l, anchors,
                 aug.gt_boxes, aug.gt_intentions, batch["gt_valid"],
                 loss_cfg, rng_loss,
+                intention_class_weights=intention_weights,
             )
             return loss_out["loss"], (loss_out, upd.get("batch_stats", state.batch_stats))
 
@@ -173,14 +199,14 @@ def train(
     num_workers: int = 4,
     max_steps: int | None = None,
     log_fn=print,
+    use_intention_weights: bool = False,
+    resume: bool = False,
 ) -> dict:
     """Full training loop; returns final epoch metrics."""
     model = build_model(cfg, train_mode=True)
     tx = make_optimizer(cfg)
     rng = jax.random.key(cfg.train.seed)
     state = init_train_state(model, cfg, tx, rng)
-    anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
-    train_step = make_train_step(model, cfg, anchors, tx)
 
     scenarios = ScenarioValidator(data_dir).find_valid_scenarios()
     if not scenarios:
@@ -193,10 +219,43 @@ def train(
     loader = ArgoverseSampleLoader(
         cfg.grid, max_gt=cfg.loss.max_gt_boxes, verbose=False
     )
+
+    intention_weights = None
+    if use_intention_weights and not cfg.loss.apply_intention_downsampling:
+        log_fn("computing intention class weights from training GT...")
+        w = compute_intention_class_weights(sequences, loader)
+        intention_weights = jnp.asarray(w)
+        log_fn(f"intention class weights: {np.round(w, 4)}")
+    elif use_intention_weights:
+        log_fn(
+            "Warning: intention weights requested but downsampling is on; "
+            "weights are ignored by the loss (reference train_vit.py:89-91)"
+        )
+
+    if resume:
+        from .checkpoint import latest_step, load_checkpoint
+
+        if latest_step(out_dir) is not None:
+            abstract = {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step,
+            }
+            restored, _ = load_checkpoint(out_dir, abstract)
+            state = TrainState(
+                params=restored["params"], batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"], step=restored["step"],
+            )
+            log_fn(f"resumed from step {int(np.asarray(state.step))}")
+
+    anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
+    train_step = make_train_step(model, cfg, anchors, tx, intention_weights)
     scheduler = PlateauScheduler(
         cfg.train.learning_rate, cfg.train.plateau_factor, cfg.train.plateau_patience
     )
     out_path = Path(out_dir)
+    from .utils.profiling import MetricsLogger
+
+    mlog = MetricsLogger(out_path / "metrics.jsonl")
     step_count = 0
     last_metrics: dict = {}
     t_start = time.time()
@@ -216,6 +275,7 @@ def train(
             if step_count % cfg.train.log_every_steps == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 rate = step_count * cfg.train.batch_size / (time.time() - t_start)
+                mlog.log(step_count, samples_per_sec=rate, **m)
                 log_fn(
                     f"epoch {epoch + 1} step {step_count} "
                     f"loss {m['loss']:.4f} (cls {m['cls_loss']:.3f} "
@@ -268,6 +328,10 @@ def main(argv=None):
     p.add_argument("--tiny-smoke", action="store_true",
                    help="tiny config for CI smoke runs on synthetic logs")
     p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --out_dir")
+    p.add_argument("--use_intention_weights", action="store_true")
+    p.add_argument("--no_intention_downsampling", action="store_true")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -285,12 +349,18 @@ def main(argv=None):
     if args.learning_rate is not None:
         tr = dataclasses.replace(tr, learning_rate=args.learning_rate)
     cfg = dataclasses.replace(cfg, train=tr)
+    if args.no_intention_downsampling:
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, apply_intention_downsampling=False)
+        )
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
     train(cfg, args.data_dir, args.out_dir,
-          num_workers=args.num_workers, max_steps=args.max_steps)
+          num_workers=args.num_workers, max_steps=args.max_steps,
+          use_intention_weights=args.use_intention_weights,
+          resume=args.resume)
 
 
 if __name__ == "__main__":
