@@ -227,12 +227,17 @@ class ArgoverseSampleLoader:
         max_gt: int = 128,
         require_intent_labels: bool = True,
         verbose: bool = True,
+        use_city_raster_cache: bool = False,
     ):
+        """``use_city_raster_cache``: rasterize each log's map once in the
+        city frame and warp per sample (fast path, bev.city_raster) instead
+        of re-drawing polygons per unique pose (parity path)."""
         self.grid = grid
         self.max_points_per_sweep = max_points_per_sweep
         self.max_gt = max_gt
         self.require_intent_labels = require_intent_labels
         self.verbose = verbose
+        self.use_city_raster_cache = use_city_raster_cache
         self._log_cache: dict[str, dict | None] = {}
 
     # -- per-log cache ----------------------------------------------------
@@ -350,6 +355,19 @@ class ArgoverseSampleLoader:
         return Sample(packed, packed_valid, map_bev, gt_boxes, gt_intents, gt_valid)
 
     def _rasterize_cached(self, log_data: dict, pose) -> np.ndarray:
+        if self.use_city_raster_cache:
+            from ..bev.city_raster import build_city_raster, warp_city_to_ego
+
+            if "city_raster" not in log_data:
+                log_data["city_raster"] = build_city_raster(
+                    log_data["map_elements"], self.grid
+                )
+            return warp_city_to_ego(
+                log_data["city_raster"],
+                {"tx_m": pose.tx_m, "ty_m": pose.ty_m, "qx": pose.qx,
+                 "qy": pose.qy, "qz": pose.qz, "qw": pose.qw},
+                self.grid,
+            )
         cache = log_data["map_raster_cache"]
         key = (round(float(pose.tx_m), 2), round(float(pose.ty_m), 2),
                round(float(quat_to_yaw(pose.qx, pose.qy, pose.qz, pose.qw)), 3))

@@ -39,6 +39,34 @@ from .heads import DetectionHead, IntentionHead, flatten_head_outputs
 _dense_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
+class FastLayerNorm(nn.Module):
+    """Bandwidth-lean LayerNorm: elementwise math in the compute dtype with
+    f32 accumulation inside the reductions only.
+
+    flax's nn.LayerNorm upcasts the whole activation to f32 before the
+    statistics, which materialises a double-width tensor per call — profiled
+    at ~25 ms/step across the 50 LNs of the full twin-ViT. Here the mean and
+    variance reduce with dtype=f32 accumulators while reads/writes stay
+    bf16; XLA fuses the whole thing into one pass. Parameter names match
+    nn.LayerNorm ('scale'/'bias') so checkpoints are interchangeable.
+    """
+
+    dtype: Any = jnp.float32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        xb = x.astype(self.dtype)
+        m = jnp.mean(xb, axis=-1, keepdims=True, dtype=jnp.float32)
+        xc = xb - m.astype(self.dtype)
+        var = jnp.mean(jax.lax.square(xc), axis=-1, keepdims=True, dtype=jnp.float32)
+        inv = jax.lax.rsqrt(var + self.eps).astype(self.dtype)
+        return xc * inv * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -56,6 +84,7 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     use_flash: bool = True
+    kv_len: int | None = None  # real token count when x is tail-padded
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,7 +100,9 @@ class Attention(nn.Module):
         q = jnp.transpose(q, (0, 2, 1, 3))  # [B, H, T, D]
         k = jnp.transpose(k, (0, 2, 1, 3))
         v = jnp.transpose(v, (0, 2, 1, 3))
-        out = multi_head_attention(q, k, v, use_flash=self.use_flash)
+        out = multi_head_attention(
+            q, k, v, use_flash=self.use_flash, kv_len=self.kv_len
+        )
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
         return nn.Dense(d, kernel_init=_dense_init, dtype=self.dtype, name="proj")(out)
 
@@ -98,18 +129,20 @@ class EncoderBlock(nn.Module):
     qkv_bias: bool
     drop_path_rate: float
     use_flash: bool = True
+    kv_len: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         d = x.shape[-1]
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = FastLayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            use_flash=self.use_flash, dtype=self.dtype, name="attn",
+            use_flash=self.use_flash, kv_len=self.kv_len,
+            dtype=self.dtype, name="attn",
         )(h.astype(self.dtype))
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = FastLayerNorm(dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
             dtype=self.dtype, name="mlp",
@@ -158,6 +191,19 @@ class ViTEncoder(nn.Module):
         )
         tokens = tokens + pos_embed.astype(tokens.dtype)
 
+        # Pad the token axis ONCE to the flash block multiple for the whole
+        # stack: per-layer pad/slice/copy around the kernel disappears
+        # (profiling: ~27 ms/step at full scale). Padded rows are dead
+        # per-token lanes; attention masks padded keys via kv_len.
+        real_len = 1 + n
+        t_run = real_len
+        if self.use_flash:
+            from ..ops.flash_attention import BLOCK_Q, _pad_len
+
+            t_run = _pad_len(real_len, BLOCK_Q)
+            if t_run != real_len:
+                tokens = jnp.pad(tokens, ((0, 0), (0, t_run - real_len), (0, 0)))
+
         dp_rates = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         block_cls = EncoderBlock
         if self.remat:
@@ -169,10 +215,12 @@ class ViTEncoder(nn.Module):
                 qkv_bias=cfg.qkv_bias,
                 drop_path_rate=float(dp_rates[i]),
                 use_flash=self.use_flash,
+                kv_len=real_len if t_run != real_len else None,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, deterministic)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(tokens)
+        tokens = tokens[:, :real_len]
+        return FastLayerNorm(dtype=self.dtype, name="norm")(tokens)
 
 
 class TwoStreamViTBackbone(nn.Module):
@@ -201,7 +249,7 @@ class TwoStreamViTBackbone(nn.Module):
             )(x, deterministic)
             patch_tokens = tokens[:, 1:]  # strip CLS (model_vit.py:119)
             # adapter LN -> Linear -> GELU (model_vit.py:82-83)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"adapter_{name}_norm")(patch_tokens)
+            h = FastLayerNorm(dtype=self.dtype, name=f"adapter_{name}_norm")(patch_tokens)
             h = nn.Dense(
                 cfg.adapter_out_channels, kernel_init=_dense_init,
                 dtype=self.dtype, name=f"adapter_{name}_proj",

@@ -11,12 +11,16 @@ Geometry for the flagship ViT-S/8 at 400x720: T = 4501 -> padded to 4608
 for one (batch, head) is 4608 x 64 x 2B ~ 0.6 MB bf16, so each kernel
 keeps the full opposite-side panel resident in VMEM and blocks only over
 its own rows — a "panel-resident" flash variant that needs no running
-max/denominator loop while keeping the same O(T) memory guarantee. The
-padded key tail is masked with -inf before the softmax.
+max/denominator loop while keeping the same O(T) memory guarantee.
+
+VPU economy: the softmax scale is folded into Q outside the kernel (one
+pass over a [T, 64] tile instead of [T, T]), and the padded-key mask is a
+precomputed additive bias row (one broadcast add instead of
+iota+compare+select over the score tile).
 
 Backward uses the standard flash recomputation:
   P = exp(S - L); dP = dO V^T; dS = P * (dP - delta); delta = rowsum(dO * O)
-  dQ = scale * dS K ; dK = scale * dS^T Q ; dV = P^T dO
+  dQ = dS K ; dK = dS^T Q ; dV = P^T dO     (scale folded into Q/dQ)
 split into a dQ kernel (blocked over Q rows) and a dK/dV kernel (blocked
 over K rows).
 """
@@ -40,19 +44,27 @@ def _pad_len(t: int, block: int) -> int:
     return ((t + block - 1) // block) * block
 
 
+def _key_bias(t_pad: int, seq_len: int) -> jnp.ndarray:
+    """f32[1, t_pad]: 0 for real positions, -inf for the padded tail."""
+    import numpy as np
+
+    bias = np.zeros((1, t_pad), dtype=np.float32)
+    bias[0, seq_len:] = _NEG_INF
+    return jnp.asarray(bias)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, seq_len: int):
-    q = q_ref[0]  # [BLOCK_Q, D]
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref):
+    q = q_ref[0]  # [BLOCK_Q, D] (pre-scaled)
     k = k_ref[0]  # [T_pad, D]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BLOCK_Q, T_pad]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < seq_len, s, _NEG_INF)
+    )  # [BLOCK_Q, T_pad]
+    s = s + bias_ref[0]  # masks padded keys
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -64,24 +76,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, seq_len: int
     l_ref[0] = (m + jnp.log(denom))  # logsumexp per row, [BLOCK_Q, 1]
 
 
-def _fwd(q3, k3, v3, scale: float, seq_len: int):
-    """q3/k3/v3: [BH, T_pad, D] (already padded). Returns (o3, lse)."""
+def _fwd(q3, k3, v3, seq_len: int):
+    """q3 (pre-scaled)/k3/v3: [BH, T_pad, D]. Returns (o3, lse)."""
     bh, t_pad, d = q3.shape
     nq = t_pad // BLOCK_Q
+    bias = _key_bias(t_pad, seq_len)
     out_shape = (
         jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
         jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
     )
-    grid = (bh, nq)
     o3, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, seq_len=seq_len),
-        grid=grid,
+        _fwd_kernel,
+        grid=(bh, nq),
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -96,7 +110,7 @@ def _fwd(q3, k3, v3, scale: float, seq_len: int):
             bytes_accessed=bh * t_pad * d * 2 * 4,
             transcendentals=bh * t_pad * t_pad,
         ),
-    )(q3, k3, v3)
+    )(q3, k3, v3, bias)
     return o3, lse
 
 
@@ -104,8 +118,8 @@ def _fwd(q3, k3, v3, scale: float, seq_len: int):
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dq_ref,
-                   *, scale: float, seq_len: int):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
+                   dq_ref):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -114,9 +128,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dq_ref,
     delta = delta_ref[0]  # [BLOCK_Q, 1]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < seq_len, s, _NEG_INF)
+    )
+    s = s + bias_ref[0]
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -125,28 +138,26 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dq_ref,
     dq = jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale: float, seq_len: int):
-    q = q_ref[0]          # [T_pad, D] (full)
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
+                    dk_ref, dv_ref):
+    q = q_ref[0]          # [T_pad, D] (full, pre-scaled)
     k = k_ref[0]          # [BLOCK_K, D]
     v = v_ref[0]
     do = do_ref[0]        # [T_pad, D]
     lse = l_ref[0][:, 0]        # [T_pad]
     delta = delta_ref[0][:, 0]
-    # S^T tile: [BLOCK_K, T_pad] = K Q^T
+    # S^T tile: [BLOCK_K, T_pad] = K Q^T; the bias row masks padded QUERY
+    # columns — their exp underflows to exactly 0, so they contribute
+    # nothing to dK/dV.
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    # padded-key rows of K produce garbage but their outputs are sliced off;
-    # padded-query columns must be masked so exp() and dP stay finite.
-    qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
-    st = jnp.where(qcol < seq_len, st, _NEG_INF)
+    )
+    st = st + bias_ref[0]
     pt = jnp.exp(st - lse[None, :])          # P^T [BLOCK_K, T_pad]
-    pt = jnp.where(qcol < seq_len, pt, 0.0)
     # dV = P^T dO
     dv = jax.lax.dot_general(
         pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
@@ -160,21 +171,23 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref,
     dk = jax.lax.dot_general(
         dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(scale: float, seq_len: int, res, g):
+def _bwd(seq_len: int, res, g):
     q3, k3, v3, o3, lse = res
     do3 = g[0] if isinstance(g, tuple) else g
     bh, t_pad, d = q3.shape
-    delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True)
+    delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    bias = _key_bias(t_pad, seq_len)
 
     bq = BLOCK_Q_BWD
     nq = t_pad // bq
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=seq_len),
+        _bwd_dq_kernel,
         grid=(bh, nq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -183,16 +196,17 @@ def _bwd(scale: float, seq_len: int, res, g):
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
-    )(q3, k3, v3, do3, lse, delta)
+    )(q3, k3, v3, do3, lse, delta, bias)
 
     bk = BLOCK_K_BWD
     nk = t_pad // bk
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=seq_len),
+        _bwd_dkv_kernel,
         grid=(bh, nk),
         in_specs=[
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -201,6 +215,7 @@ def _bwd(scale: float, seq_len: int, res, g):
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -210,7 +225,7 @@ def _bwd(scale: float, seq_len: int, res, g):
             jax.ShapeDtypeStruct((bh, t_pad, d), k3.dtype),
             jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
         ),
-    )(q3, k3, v3, do3, lse, delta)
+    )(q3, k3, v3, do3, lse, delta, bias)
     return dq, dk, dv
 
 
@@ -218,24 +233,32 @@ def _bwd(scale: float, seq_len: int, res, g):
 # public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash3(q3, k3, v3, scale: float, seq_len: int):
-    o3, _ = _fwd(q3, k3, v3, scale, seq_len)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash3(q3, k3, v3, seq_len: int):
+    o3, _ = _fwd(q3, k3, v3, seq_len)
     return o3
 
 
-def _flash3_fwd(q3, k3, v3, scale: float, seq_len: int):
-    o3, lse = _fwd(q3, k3, v3, scale, seq_len)
+def _flash3_fwd(q3, k3, v3, seq_len: int):
+    o3, lse = _fwd(q3, k3, v3, seq_len)
     return o3, (q3, k3, v3, o3, lse)
 
 
 _flash3.defvjp(_flash3_fwd, _bwd)
 
 
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """softmax(QK^T / sqrt(D)) V over [B, H, T, D] via Pallas TPU kernels."""
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seq_len: int | None = None
+) -> jnp.ndarray:
+    """softmax(QK^T / sqrt(D)) V over [B, H, T, D] via Pallas TPU kernels.
+
+    ``seq_len``: number of real (unpadded) tokens; keys beyond it are
+    masked. When T is already a multiple of the block size (caller pre-pads
+    once for the whole encoder) no pad/slice copies happen here.
+    """
     b, h, t, d = q.shape
     scale = 1.0 / (d ** 0.5)
+    real_len = t if seq_len is None else int(seq_len)
     t_pad = _pad_len(t, BLOCK_Q)
 
     def prep(x):
@@ -244,5 +267,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
             x3 = jnp.pad(x3, ((0, 0), (0, t_pad - t), (0, 0)))
         return x3
 
-    o3 = _flash3(prep(q), prep(k), prep(v), scale, t)
+    # Fold the softmax scale into q: one VPU pass over a [T, D] tile instead
+    # of the [T, T] score tile; autodiff of this multiply restores the scale
+    # factor in dq automatically.
+    q_scaled = q * jnp.asarray(scale, dtype=q.dtype)
+    o3 = _flash3(prep(q_scaled), prep(k), prep(v), real_len)
     return o3[:, :t, :].reshape(b, h, t, d)
