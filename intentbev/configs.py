@@ -224,6 +224,7 @@ class ViTBackboneConfig:
     fusion_kernel_size: int = 3
     fusion_stride: int = 1
     use_flash_attention: bool = True
+    use_fused_layernorm: bool = True
 
     @property
     def grid_size(self) -> tuple[int, int]:

@@ -1,0 +1,72 @@
+"""Packed (transpose-free) flash attention vs the XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from intentbev.ops.attention import reference_attention
+from intentbev.ops.flash_packed import flash_attention_packed
+
+
+def _packed_via_reference(q, k, v, num_heads):
+    b, t, dm = q.shape
+    dh = dm // num_heads
+
+    def to_bhtd(x):
+        return jnp.transpose(x.reshape(b, t, num_heads, dh), (0, 2, 1, 3))
+
+    o = reference_attention(to_bhtd(q), to_bhtd(k), to_bhtd(v))
+    return jnp.transpose(o, (0, 2, 1, 3)).reshape(b, t, dm)
+
+
+class TestPackedForward:
+    @pytest.mark.parametrize("t", [256, 300, 700])
+    def test_matches_reference(self, rng, t):
+        b, h, dh = 2, 3, 64
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention_packed(q, k, v, h))
+        want = np.asarray(_packed_via_reference(q, k, v, h))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_seq_len_mask_prepadded(self, rng):
+        """Pre-padded input + seq_len must equal unpadded attention."""
+        b, h, dh, t = 1, 2, 64, 200
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        qp = jnp.pad(q, ((0, 0), (0, 312), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 312), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 312), (0, 0)))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention_packed(qp, kp, vp, h, seq_len=t))[:, :t]
+        want = np.asarray(_packed_via_reference(q, k, v, h))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestPackedBackward:
+    def test_grads_match_reference(self, rng):
+        b, h, dh, t = 1, 2, 64, 300
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+
+        def loss_packed(q, k, v):
+            with pltpu.force_tpu_interpret_mode():
+                return jnp.sum(jnp.sin(flash_attention_packed(q, k, v, h)))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(_packed_via_reference(q, k, v, h)))
+
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
