@@ -44,7 +44,9 @@ def build_bench(batch_size: int, points_per_sweep: int):
 
     @jax.jit
     def infer(variables, points, points_valid, map_bev):
-        lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, g))(points, points_valid)
+        lidar = jax.vmap(
+            lambda p, v: voxelize_packed(p, v, g, out_dtype=jnp.bfloat16)
+        )(points, points_valid)
         cls_l, box_d, int_l = model.apply(variables, lidar, map_bev)
         det = batched_postprocess(
             cls_l, box_d, int_l, anchors,

@@ -35,8 +35,12 @@ class AugmentedSample(NamedTuple):
     gt_intentions: jnp.ndarray  # i32[G]
 
 
-# LEFT/RIGHT swap table for horizontal flip (utils.py:406-414)
-_FLIP_INTENT_TABLE = jnp.array(
+# LEFT/RIGHT swap table for horizontal flip (utils.py:406-414).
+# Kept as numpy at module scope: a jnp array here would initialise the JAX
+# backend at import time, before CLIs can select a platform.
+import numpy as _np
+
+_FLIP_INTENT_TABLE_NP = _np.array(
     [
         IM["KEEP_LANE"],
         IM["TURN_RIGHT"],        # TURN_LEFT ->
@@ -47,7 +51,7 @@ _FLIP_INTENT_TABLE = jnp.array(
         IM["PARKED"],
         IM["OTHER"],
     ],
-    dtype=jnp.int32,
+    dtype=_np.int32,
 )
 
 
@@ -106,7 +110,8 @@ def augment_bev(
     map_bev = jnp.where(do_flip, jnp.flip(map_bev, axis=1), map_bev)
     flipped_boxes = boxes.at[:, 1].multiply(-1.0).at[:, 4].multiply(-1.0)
     boxes = jnp.where(do_flip, flipped_boxes, boxes)
-    intents = jnp.where(do_flip, _FLIP_INTENT_TABLE[jnp.maximum(intents, 0)], intents)
+    flip_table = jnp.asarray(_FLIP_INTENT_TABLE_NP)
+    intents = jnp.where(do_flip, flip_table[jnp.maximum(intents, 0)], intents)
 
     # ---- rotate + scale as one composed inverse affine about ego origin
     do_rot = jax.random.bernoulli(k_rot_p, float(cfg.rotate_prob))

@@ -57,13 +57,16 @@ def pack_points(
     return packed, valid
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
+@functools.partial(jax.jit, static_argnames=("grid", "out_dtype"))
 def voxelize_packed(
-    points: jnp.ndarray, valid: jnp.ndarray, grid: GridConfig
+    points: jnp.ndarray, valid: jnp.ndarray, grid: GridConfig,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Device scatter-max voxelizer.
 
-    points f32[S, P, 4]; valid bool[S, P] -> bev f32[H, W, S*Z].
+    points f32[S, P, 4]; valid bool[S, P] -> bev [H, W, S*Z] in
+    ``out_dtype``. Emitting bf16 directly halves the HBM read of the
+    290-channel BEV by the patch-embed conv (f32 batch-8 BEV is ~2.7 GB).
     """
     h, w = grid.height_px, grid.width_px
     z_ch = grid.lidar_height_channels
@@ -93,9 +96,9 @@ def voxelize_packed(
     flat = (row * w + col) * c + channel
     flat = jnp.where(ok, flat, h * w * c)  # out-of-range -> dropped
 
-    bev = jnp.zeros((h * w * c,), dtype=jnp.float32)
+    bev = jnp.zeros((h * w * c,), dtype=out_dtype)
     bev = bev.at[flat.reshape(-1)].max(
-        jnp.where(ok, inten, -jnp.inf).reshape(-1).astype(jnp.float32), mode="drop"
+        jnp.where(ok, inten, -jnp.inf).reshape(-1).astype(out_dtype), mode="drop"
     )
     return bev.reshape(h, w, c)
 

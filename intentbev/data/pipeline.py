@@ -115,17 +115,22 @@ def pad_batch(batch: Batch, batch_size: int) -> tuple[Batch, np.ndarray]:
     return Batch(*[pad(a) for a in batch]), sample_valid
 
 
-def device_prefetch(iterator: Iterator, size: int = 2) -> Iterator:
-    """Move host batches to device ``size`` steps ahead of the consumer."""
+def device_prefetch(iterator: Iterator, size: int = 2, put=None) -> Iterator:
+    """Move host batches to device ``size`` steps ahead of the consumer.
+
+    ``put`` overrides the transfer (e.g. a sharded device_put for DP
+    training); defaults to plain jax.device_put.
+    """
     import jax
 
+    put = put or jax.device_put
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
 
     def producer():
         try:
             for item in iterator:
-                q.put(jax.device_put(item))
+                q.put(put(item))
         finally:
             q.put(sentinel)
 

@@ -3,14 +3,19 @@
 The BHTD kernels in ``flash_attention.py`` require physically transposing
 Q/K/V from the Dense output layout [B, T, H*D] to [B, H, T, D] — profiled
 at ~16 ms/step of pure copies on the full twin-ViT. These kernels consume
-the Dense layout directly: each program owns one batch element's row-block
-and loops over the heads with static lane slices, so the only data
-movement around attention is the qkv split (contiguous channel chunks).
+the Dense layout directly.
 
-Same panel-resident design as flash_attention.py: full K/V (or Q/dO)
-panels for one batch element live in VMEM ([T_pad, H*D] bf16 ~ 3.5 MB at
-flagship geometry), row-blocks kept small enough that the per-head f32
-score tile fits beside them.
+Lane-blocking trick: Mosaic requires the last block dim to be 128-divisible
+(or the full array dim), so per-64-lane head slices can't be blocked — but
+a 128-lane block covers exactly TWO heads (D=64). The grid therefore runs
+over (batch, head-pairs, row-blocks); each program DMAs only its pair's
+[T_pad, 128] K/V panels (~1.2 MB bf16 at flagship geometry) and unrolls the
+two heads over an explicitly reused VMEM score scratch, keeping the whole
+working set well under the 16 MB VMEM budget even with Mosaic's double
+buffering.
+
+logsumexp is stored as [B, H, T_pad, 1] so its blocks satisfy the same
+lane constraints.
 """
 
 from __future__ import annotations
@@ -24,61 +29,74 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention import _key_bias, _pad_len
 
-# Row-block sizes sized to VMEM: a full K/V (or Q/dO) panel pair for one
-# batch element is ~7 MB bf16 at flagship geometry, and each resident f32
-# score tile costs BLOCK * 4608 * 4 B.
-BLOCK_Q_PK = 128      # fwd row-block (2 tiles live: ~12 MB total)
-BLOCK_BWD_PK = 64     # bwd row-blocks (4 tiles live: ~12 MB total)
+LANE_BLOCK = 128          # channel block = LANE_BLOCK // head_dim heads
+BLOCK_Q_PK = 256          # fwd row-block
+BLOCK_BWD_PK = 128        # bwd row-blocks (two f32 tiles live)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref,
-                *, num_heads: int, scale: float):
-    q = q_ref[0]  # [BQ, H*D]
-    k = k_ref[0]  # [T_pad, H*D]
+def _heads_per_block(dh: int) -> int:
+    assert LANE_BLOCK % dh == 0, f"head_dim {dh} must divide {LANE_BLOCK}"
+    return LANE_BLOCK // dh
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, s_buf,
+                *, heads_in_block: int, scale: float):
+    # refs: q [1, BQ, 128], k/v [1, T_pad, 128], bias [1, T_pad],
+    # o [1, BQ, 128], l [1, hp, BQ, 1], s_buf scratch [BQ, T_pad] f32.
+    q = q_ref[0]
+    k = k_ref[0]
     v = v_ref[0]
     bias = bias_ref[0]
-    dh = q.shape[-1] // num_heads
-    for h in range(num_heads):
+    dh = q.shape[-1] // heads_in_block
+    for h in range(heads_in_block):
         sl = slice(h * dh, (h + 1) * dh)
         qh = q[:, sl] * jnp.asarray(scale, q.dtype)
-        s = jax.lax.dot_general(
+        s_buf[:] = jax.lax.dot_general(
             qh, k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        s = s + bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        ) + bias
+        m = jnp.max(s_buf[:], axis=-1, keepdims=True)
+        s_buf[:] = jnp.exp(s_buf[:] - m)
+        denom = jnp.sum(s_buf[:], axis=-1, keepdims=True)
         oh = jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            s_buf[:].astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) / denom
         o_ref[0, :, sl] = oh.astype(o_ref.dtype)
-        l_ref[0, :, h] = (m + jnp.log(denom))[:, 0]
+        l_ref[0, h] = m + jnp.log(denom)
 
 
 def _fwd(q3, k3, v3, num_heads: int, scale: float, seq_len: int):
     b, t_pad, dm = q3.shape
+    dh = dm // num_heads
+    hp = _heads_per_block(dh)
+    n_pairs = num_heads // hp
     nq = t_pad // BLOCK_Q_PK
     bias = _key_bias(t_pad, seq_len)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale),
-        grid=(b, nq),
+        functools.partial(_fwd_kernel, heads_in_block=hp, scale=scale),
+        grid=(b, n_pairs, nq),
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q_PK, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dm), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dm), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q_PK, LANE_BLOCK), lambda i, p, j: (i, j, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, BLOCK_Q_PK, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q_PK, num_heads), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, BLOCK_Q_PK, LANE_BLOCK), lambda i, p, j: (i, j, p),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, BLOCK_Q_PK, 1),
+                         lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, t_pad, dm), q3.dtype),
-            jax.ShapeDtypeStruct((b, t_pad, num_heads), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_heads, t_pad, 1), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((BLOCK_Q_PK, t_pad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * t_pad * t_pad * dm,
             bytes_accessed=b * t_pad * dm * 2 * 4,
@@ -89,62 +107,61 @@ def _fwd(q3, k3, v3, num_heads: int, scale: float, seq_len: int):
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
-                   dq_ref, *, num_heads: int, scale: float):
+                   dq_ref, p_buf, t_buf, *, heads_in_block: int, scale: float):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
     bias = bias_ref[0]
-    dh = q.shape[-1] // num_heads
-    for h in range(num_heads):
+    dh = q.shape[-1] // heads_in_block
+    for h in range(heads_in_block):
         sl = slice(h * dh, (h + 1) * dh)
-        s = jax.lax.dot_general(
+        p_buf[:] = jax.lax.dot_general(
             (q[:, sl] * jnp.asarray(scale, q.dtype)), k[:, sl],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        s = s + bias
-        p = jnp.exp(s - l_ref[0, :, h][:, None])
-        dp = jax.lax.dot_general(
+        ) + bias
+        p_buf[:] = jnp.exp(p_buf[:] - l_ref[0, h])
+        t_buf[:] = jax.lax.dot_general(
             do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta_ref[0, :, h][:, None])
+        t_buf[:] = p_buf[:] * (t_buf[:] - delta_ref[0, h])
         dq = jax.lax.dot_general(
-            ds.astype(k.dtype), k[:, sl], (((1,), (0,)), ((), ())),
+            t_buf[:].astype(k.dtype), k[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
-                    dk_ref, dv_ref, *, num_heads: int, scale: float):
-    q = q_ref[0]          # [T_pad, H*D] full panel
-    k = k_ref[0]          # [BK, H*D]
+                    dk_ref, dv_ref, p_buf, t_buf,
+                    *, heads_in_block: int, scale: float):
+    q = q_ref[0]          # [T_pad, 128] full panel for this head pair
+    k = k_ref[0]          # [BK, 128]
     v = v_ref[0]
-    do = do_ref[0]        # [T_pad, H*D]
+    do = do_ref[0]        # [T_pad, 128]
     bias = bias_ref[0]    # masks padded QUERY columns
-    dh = q.shape[-1] // num_heads
-    for h in range(num_heads):
+    dh = q.shape[-1] // heads_in_block
+    for h in range(heads_in_block):
         sl = slice(h * dh, (h + 1) * dh)
-        st = jax.lax.dot_general(
+        p_buf[:] = jax.lax.dot_general(
             k[:, sl], (q[:, sl] * jnp.asarray(scale, q.dtype)),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        st = st + bias
-        pt = jnp.exp(st - l_ref[0, :, h][None, :])
+        ) + bias
+        p_buf[:] = jnp.exp(p_buf[:] - l_ref[0, h][:, 0][None, :])
         dv = jax.lax.dot_general(
-            pt.astype(do.dtype), do[:, sl], (((1,), (0,)), ((), ())),
+            p_buf[:].astype(do.dtype), do[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dpt = jax.lax.dot_general(
+        t_buf[:] = jax.lax.dot_general(
             v[:, sl], do[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dst = pt * (dpt - delta_ref[0, :, h][None, :])
+        t_buf[:] = p_buf[:] * (t_buf[:] - delta_ref[0, h][:, 0][None, :])
         dk = jax.lax.dot_general(
-            dst.astype(q.dtype), q[:, sl], (((1,), (0,)), ((), ())),
+            t_buf[:].astype(q.dtype), q[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # note: q panel is unscaled here; scale applied below
+        )
         dk_ref[0, :, sl] = (dk * scale).astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
@@ -154,54 +171,68 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
     do3 = g[0] if isinstance(g, tuple) else g
     b, t_pad, dm = q3.shape
     dh = dm // num_heads
-    # delta per head: rowsum over that head's channels
-    delta = jnp.sum(
-        (do3.astype(jnp.float32) * o3.astype(jnp.float32)).reshape(
-            b, t_pad, num_heads, dh
+    hp = _heads_per_block(dh)
+    n_pairs = num_heads // hp
+    # delta per head, stored like lse: [B, H, T_pad, 1]
+    delta = jnp.transpose(
+        jnp.sum(
+            (do3.astype(jnp.float32) * o3.astype(jnp.float32)).reshape(
+                b, t_pad, num_heads, dh
+            ),
+            axis=-1,
         ),
-        axis=-1,
-    )  # [B, T_pad, H]
+        (0, 2, 1),
+    )[..., None]
     bias = _key_bias(t_pad, seq_len)
 
     bq = BLOCK_BWD_PK
     nq = t_pad // bq
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, num_heads=num_heads, scale=scale),
-        grid=(b, nq),
+        functools.partial(_bwd_dq_kernel, heads_in_block=hp, scale=scale),
+        grid=(b, n_pairs, nq),
         in_specs=[
-            pl.BlockSpec((1, bq, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dm), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dm), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, num_heads), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, num_heads), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, bq, 1), lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, bq, 1), lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, dm), q3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+        ],
     )(q3, k3, v3, do3, lse, delta, bias)
 
     nk = t_pad // bq
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, num_heads=num_heads, scale=scale),
-        grid=(b, nk),
+        functools.partial(_bwd_dkv_kernel, heads_in_block=hp, scale=scale),
+        grid=(b, n_pairs, nk),
         in_specs=[
-            pl.BlockSpec((1, t_pad, dm), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, dm), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, num_heads), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, num_heads), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, t_pad, 1), lambda i, p, j: (i, p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, t_pad, 1), lambda i, p, j: (i, p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, bq, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, dm), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, t_pad, dm), k3.dtype),
             jax.ShapeDtypeStruct((b, t_pad, dm), v3.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+        ],
     )(q3, k3, v3, do3, lse, delta, bias)
     return dq, dk, dv
 
@@ -227,9 +258,19 @@ def flash_attention_packed(
     """Attention over Dense-layout [B, T, H*D] tensors; no transposes."""
     b, t, dm = q.shape
     dh = dm // num_heads
+    if LANE_BLOCK % dh != 0 or num_heads % (LANE_BLOCK // dh) != 0:
+        # head layout not pair-blockable (e.g. odd head count): fall back to
+        # the BHTD kernels via explicit transposes
+        from .flash_attention import flash_attention
+
+        def to_bhtd(x):
+            return jnp.transpose(x.reshape(b, t, num_heads, dh), (0, 2, 1, 3))
+
+        o = flash_attention(to_bhtd(q), to_bhtd(k), to_bhtd(v), seq_len=seq_len)
+        return jnp.transpose(o, (0, 2, 1, 3)).reshape(b, t, dm)
     scale = 1.0 / (dh ** 0.5)
     real_len = t if seq_len is None else int(seq_len)
-    t_pad = _pad_len(t, BLOCK_Q_PK)
+    t_pad = _pad_len(t, max(BLOCK_Q_PK, BLOCK_BWD_PK))
 
     def prep(x):
         if t_pad != t:

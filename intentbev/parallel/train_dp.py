@@ -54,9 +54,10 @@ def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh):
         rng = jax.random.fold_in(rng, state.step)
         rng_aug, rng_loss, rng_drop = jax.random.split(rng, 3)
 
-        lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, grid))(
-            batch["points"], batch["points_valid"]
-        )
+        compute_dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+        lidar = jax.vmap(
+            lambda p, v: voxelize_packed(p, v, grid, out_dtype=compute_dtype)
+        )(batch["points"], batch["points_valid"])
         aug = batched_augment_bev(
             lidar, batch["map_bev"], batch["gt_boxes"], batch["gt_intentions"],
             batch["gt_valid"], rng_aug, aug_cfg, grid,

@@ -147,9 +147,10 @@ def make_train_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray, tx,
         rng = jax.random.fold_in(rng, state.step)
         rng_aug, rng_loss, rng_drop = jax.random.split(rng, 3)
 
-        lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, grid))(
-            batch["points"], batch["points_valid"]
-        )
+        compute_dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+        lidar = jax.vmap(
+            lambda p, v: voxelize_packed(p, v, grid, out_dtype=compute_dtype)
+        )(batch["points"], batch["points_valid"])
         aug = batched_augment_bev(
             lidar, batch["map_bev"], batch["gt_boxes"], batch["gt_intentions"],
             batch["gt_valid"], rng_aug, aug_cfg, grid,
@@ -201,8 +202,15 @@ def train(
     log_fn=print,
     use_intention_weights: bool = False,
     resume: bool = False,
+    distributed: bool = False,
 ) -> dict:
-    """Full training loop; returns final epoch metrics."""
+    """Full training loop; returns final epoch metrics.
+
+    ``distributed=True`` runs the DP(xTP) sharded step over a
+    jax.sharding.Mesh of all visible devices (parallel.train_dp); the
+    global batch must be divisible by the data-axis size. Multi-host jobs
+    call ``parallel.mesh.initialize_distributed()`` before this.
+    """
     model = build_model(cfg, train_mode=True)
     tx = make_optimizer(cfg)
     rng = jax.random.key(cfg.train.seed)
@@ -248,7 +256,28 @@ def train(
             log_fn(f"resumed from step {int(np.asarray(state.step))}")
 
     anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
-    train_step = make_train_step(model, cfg, anchors, tx, intention_weights)
+    mesh = None
+    batch_to_device = jax.device_put
+    if distributed:
+        from .parallel import (
+            batch_sharding, create_mesh, make_sharded_train_step,
+            shard_train_state,
+        )
+
+        mesh = create_mesh(cfg.mesh)
+        data_dim = mesh.devices.shape[0]
+        if cfg.train.batch_size % data_dim != 0:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} not divisible by the "
+                f"data axis ({data_dim} of mesh {mesh.devices.shape})"
+            )
+        log_fn(f"distributed: mesh {mesh.devices.shape} (data x model)")
+        state = shard_train_state(state, mesh, cfg)
+        train_step = make_sharded_train_step(model, cfg, anchors, tx, mesh)(state)
+        b_shard = batch_sharding(mesh, cfg.mesh)
+        batch_to_device = lambda b: jax.device_put(b, b_shard)  # noqa: E731
+    else:
+        train_step = make_train_step(model, cfg, anchors, tx, intention_weights)
     scheduler = PlateauScheduler(
         cfg.train.learning_rate, cfg.train.plateau_factor, cfg.train.plateau_patience
     )
@@ -267,7 +296,7 @@ def train(
         )
         accum = {"loss": 0.0, "cls_loss": 0.0, "box_loss": 0.0, "intent_loss": 0.0}
         n_batches = 0
-        for batch in device_prefetch(iter(it), size=2):
+        for batch in device_prefetch(iter(it), size=2, put=batch_to_device):
             bdict = batch._asdict()
             state, metrics = train_step(state, bdict, rng)
             step_count += 1
@@ -332,7 +361,16 @@ def main(argv=None):
                    help="resume from the latest checkpoint in --out_dir")
     p.add_argument("--use_intention_weights", action="store_true")
     p.add_argument("--no_intention_downsampling", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="DP(xTP) sharded training over all visible devices")
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu for the 8-fake-"
+                        "device mesh; the env var is unreliable here)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     import dataclasses
 
@@ -353,6 +391,12 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, apply_intention_downsampling=False)
         )
+    if args.model_parallel != 1:
+        from .configs import MeshConfig
+
+        cfg = dataclasses.replace(
+            cfg, mesh=MeshConfig(model_parallel=args.model_parallel)
+        )
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -360,7 +404,7 @@ def main(argv=None):
     train(cfg, args.data_dir, args.out_dir,
           num_workers=args.num_workers, max_steps=args.max_steps,
           use_intention_weights=args.use_intention_weights,
-          resume=args.resume)
+          resume=args.resume, distributed=args.distributed)
 
 
 if __name__ == "__main__":

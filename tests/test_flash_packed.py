@@ -24,7 +24,7 @@ def _packed_via_reference(q, k, v, num_heads):
 class TestPackedForward:
     @pytest.mark.parametrize("t", [256, 300, 700])
     def test_matches_reference(self, rng, t):
-        b, h, dh = 2, 3, 64
+        b, h, dh = 2, 4, 64
         dm = h * dh
         q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
         k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
@@ -46,6 +46,21 @@ class TestPackedForward:
         vp = jnp.pad(v, ((0, 0), (0, 312), (0, 0)))
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(flash_attention_packed(qp, kp, vp, h, seq_len=t))[:, :t]
+        want = np.asarray(_packed_via_reference(q, k, v, h))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestPackedFallback:
+    def test_odd_head_count_falls_back(self, rng):
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+        b, h, dh, t = 1, 3, 64, 256
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention_packed(q, k, v, h))
         want = np.asarray(_packed_via_reference(q, k, v, h))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
