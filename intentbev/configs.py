@@ -225,6 +225,7 @@ class ViTBackboneConfig:
     fusion_stride: int = 1
     use_flash_attention: bool = True
     use_fused_layernorm: bool = True
+    use_fused_mlp: bool = True
 
     @property
     def grid_size(self) -> tuple[int, int]:

@@ -92,17 +92,49 @@ class FastLayerNorm(nn.Module):
         return xc * inv * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
+class _LinearParams(nn.Module):
+    """Parameter holder matching nn.Dense's param names/shapes, so the fused
+    and unfused MLP paths share one checkpoint layout."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _dense_init, (self.features_in, self.features_out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc2")(x)
-        return x
+    def __call__(self, x: jnp.ndarray, residual: jnp.ndarray | None = None) -> jnp.ndarray:
+        use_fused = (
+            self.fused and residual is not None
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from ..ops.fused_mlp import fused_mlp
+
+            d = x.shape[-1]
+            w1, b1 = _LinearParams(d, self.hidden_dim, name="fc1")()
+            w2, b2 = _LinearParams(self.hidden_dim, self.out_dim, name="fc2")()
+            return fused_mlp(
+                x, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2, residual
+            )
+        y = nn.Dense(self.hidden_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc1")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.out_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc2")(y)
+        if residual is not None:
+            y = y + residual
+        return y
 
 
 class Attention(nn.Module):
@@ -167,6 +199,7 @@ class EncoderBlock(nn.Module):
     use_flash: bool = True
     kv_len: int | None = None
     fused_ln: bool = True
+    fused_mlp: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -181,11 +214,16 @@ class EncoderBlock(nn.Module):
         )(h.astype(self.dtype))
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic)
         h = norm_cls(dtype=self.dtype, name="norm2")(x)
-        h = Mlp(
+        mlp = Mlp(
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
-            dtype=self.dtype, name="mlp",
-        )(h.astype(self.dtype))
-        x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic)
+            fused=self.fused_mlp, dtype=self.dtype, name="mlp",
+        )
+        if self.drop_path_rate == 0.0 or deterministic:
+            # fused kernel can absorb the residual add (drop-path is identity)
+            x = mlp(h.astype(self.dtype), residual=x)
+        else:
+            h = mlp(h.astype(self.dtype))
+            x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic)
         return x
 
 
@@ -255,6 +293,7 @@ class ViTEncoder(nn.Module):
                 use_flash=self.use_flash,
                 kv_len=real_len if t_run != real_len else None,
                 fused_ln=cfg.use_fused_layernorm,
+                fused_mlp=cfg.use_fused_mlp,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, deterministic)

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .flash_attention import _key_bias, _pad_len
 
 LANE_BLOCK = 128          # channel block = LANE_BLOCK // head_dim heads
-BLOCK_Q_PK = 256          # fwd row-block
+BLOCK_Q_PK = 384          # fwd row-block (f32 score scratch ~7 MB; 512 overflows VMEM)
 BLOCK_BWD_PK = 128        # bwd row-blocks (two f32 tiles live)
 
 
