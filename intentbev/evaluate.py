@@ -184,8 +184,24 @@ def main(argv=None):
     p.add_argument("--data_dir", required=True)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--rotated_iou", action="store_true",
+                   help="exact rotated IoU for AP + intention matching "
+                        "(reference EVAL_USE_ROTATED_IOU, eval_cnn.py:29)")
+    p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
-    evaluate(args.ckpt_dir, args.data_dir,
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg_override = None
+    if args.rotated_iou:
+        import dataclasses
+
+        from .checkpoint import load_checkpoint
+
+        _, cfg = load_checkpoint(args.ckpt_dir)
+        cfg_override = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, use_rotated_iou=True)
+        )
+    evaluate(args.ckpt_dir, args.data_dir, cfg_override=cfg_override,
              num_workers=args.num_workers, max_batches=args.max_batches)
 
 

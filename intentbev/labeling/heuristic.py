@@ -209,7 +209,6 @@ def label_log_annotations(
     intents = np.full(len(df), -1, dtype=np.int32)
     is_vehicle = df["category"].isin(VEHICLE_CATEGORIES).to_numpy()
 
-    order = np.argsort(df["timestamp_ns"].to_numpy(), kind="stable")
     for track_id, group_idx in df.groupby("track_uuid").indices.items():
         gi = np.asarray(group_idx)
         if not is_vehicle[gi].any():

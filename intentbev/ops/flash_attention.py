@@ -34,6 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default scoped-VMEM stack limit (16 MB) is conservative; the
+# backward kernels' working sets legitimately exceed it under double
+# buffering. Raised limit validated by compile + run on v5e.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 BLOCK_Q = 512        # forward q-block
 BLOCK_Q_BWD = 256    # backward dq q-block (f32 score tiles, tighter VMEM)
 BLOCK_K_BWD = 256    # backward dk/dv k-block
@@ -88,6 +93,7 @@ def _fwd(q3, k3, v3, seq_len: int):
     o3, lse = pl.pallas_call(
         _fwd_kernel,
         grid=(bh, nq),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -189,6 +195,7 @@ def _bwd(seq_len: int, res, g):
     dq = pl.pallas_call(
         _bwd_dq_kernel,
         grid=(bh, nq),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -208,6 +215,7 @@ def _bwd(seq_len: int, res, g):
     dk, dv = pl.pallas_call(
         _bwd_dkv_kernel,
         grid=(bh, nk),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

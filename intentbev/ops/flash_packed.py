@@ -27,6 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default scoped-VMEM stack limit (16 MB) is conservative; the
+# backward kernels' working sets legitimately exceed it under double
+# buffering. Raised limit validated by compile + run on v5e.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 from .flash_attention import _key_bias, _pad_len
 
 LANE_BLOCK = 128          # channel block = LANE_BLOCK // head_dim heads
@@ -76,6 +81,7 @@ def _fwd(q3, k3, v3, num_heads: int, scale: float, seq_len: int):
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, heads_in_block=hp, scale=scale),
         grid=(b, n_pairs, nq),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q_PK, LANE_BLOCK), lambda i, p, j: (i, j, p),
                          memory_space=pltpu.VMEM),
@@ -190,6 +196,7 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, heads_in_block=hp, scale=scale),
         grid=(b, n_pairs, nq),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
@@ -212,6 +219,7 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, heads_in_block=hp, scale=scale),
         grid=(b, n_pairs, nk),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),

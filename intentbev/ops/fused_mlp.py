@@ -24,6 +24,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default scoped-VMEM stack limit (16 MB) is conservative; the
+# backward kernels' working sets legitimately exceed it under double
+# buffering. Raised limit validated by compile + run on v5e.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 BLOCK_ROWS_MLP = 256
 
 _SQRT_2 = math.sqrt(2.0)
@@ -80,6 +85,7 @@ def _fwd(x2, w1, b1, w2, b2, res2):
     y = pl.pallas_call(
         _fwd_kernel,
         grid=(nb,),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((BLOCK_ROWS_MLP, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -148,6 +154,7 @@ def _bwd_call(x2, w1, b1, w2, dy2):
     dx, dw1_p, db1_p, dw2_p, db2_p = pl.pallas_call(
         _bwd_kernel,
         grid=(nb,),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((BLOCK_ROWS_MLP, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default scoped-VMEM stack limit (16 MB) is conservative; the
+# backward kernels' working sets legitimately exceed it under double
+# buffering. Raised limit validated by compile + run on v5e.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 BLOCK_ROWS = 1024
 
 
@@ -63,6 +68,7 @@ def _fwd(x2, gamma, beta, eps: float):
     y, xhat, inv = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps),
         grid=grid,
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((BLOCK_ROWS, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -88,6 +94,7 @@ def _bwd_call(dy2, xhat, inv, gamma):
     dx, dg_part, db_part = pl.pallas_call(
         _bwd_kernel,
         grid=(nb,),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((BLOCK_ROWS, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_ROWS, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
