@@ -294,7 +294,9 @@ class TrainConfig:
     checkpoint_every_steps: int = 500
     log_every_steps: int = 20
     compute_dtype: str = "bfloat16"
-    remat_vit_blocks: bool = True
+    # remat trades ~10% step time for activation memory; batch 8 at full
+    # scale fits v5e HBM without it (measured: 999 vs 1107 ms/step)
+    remat_vit_blocks: bool = False
     donate_train_state: bool = True
 
 
