@@ -115,7 +115,14 @@ class Mlp(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, residual: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        residual: jnp.ndarray | None = None,
+        gate: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """``gate``: per-sample-ish stochastic-depth factor broadcastable to
+        x.shape[:-1]; folded into the fused kernel's epilogue."""
         use_fused = (
             self.fused and residual is not None
             and jax.default_backend() == "tpu"
@@ -127,11 +134,14 @@ class Mlp(nn.Module):
             w1, b1 = _LinearParams(d, self.hidden_dim, name="fc1")()
             w2, b2 = _LinearParams(self.hidden_dim, self.out_dim, name="fc2")()
             return fused_mlp(
-                x, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2, residual
+                x, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                residual, gate=gate,
             )
         y = nn.Dense(self.hidden_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc1")(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.out_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc2")(y)
+        if gate is not None:
+            y = y * gate[..., None].astype(y.dtype)
         if residual is not None:
             y = y + residual
         return y
@@ -218,12 +228,17 @@ class EncoderBlock(nn.Module):
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
             fused=self.fused_mlp, dtype=self.dtype, name="mlp",
         )
-        if self.drop_path_rate == 0.0 or deterministic:
-            # fused kernel can absorb the residual add (drop-path is identity)
-            x = mlp(h.astype(self.dtype), residual=x)
-        else:
-            h = mlp(h.astype(self.dtype))
-            x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic)
+        gate = None
+        if self.drop_path_rate > 0.0 and not deterministic:
+            # stochastic depth as a per-sample gate (0 or 1/keep), folded
+            # into the MLP epilogue — keeps the fused kernel in training
+            keep = 1.0 - self.drop_path_rate
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1))
+            gate = jnp.broadcast_to(
+                mask.astype(jnp.float32) / keep, x.shape[:-1]
+            )
+        x = mlp(h.astype(self.dtype), residual=x, gate=gate)
         return x
 
 

@@ -65,7 +65,10 @@ def _pad_rows(n: int) -> int:
     return ((n + BLOCK_ROWS_MLP - 1) // BLOCK_ROWS_MLP) * BLOCK_ROWS_MLP
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, res_ref, y_ref):
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, res_ref, gate_ref,
+                y_ref):
+    # gate: per-row drop-path factor (0 or 1/keep_prob; ones in eval) —
+    # stochastic depth runs inside the kernel so training keeps the fusion
     x = x_ref[:]
     g = jax.lax.dot_general(
         x, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -75,10 +78,10 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, res_ref, y_ref):
         h.astype(x.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[:].astype(jnp.float32)
-    y_ref[:] = (y + res_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
+    y_ref[:] = (y * gate_ref[:] + res_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
 
 
-def _fwd(x2, w1, b1, w2, b2, res2):
+def _fwd(x2, w1, b1, w2, b2, res2, gate2):
     n, d = x2.shape
     dh = w1.shape[1]
     nb = n // BLOCK_ROWS_MLP
@@ -93,6 +96,7 @@ def _fwd(x2, w1, b1, w2, b2, res2):
             pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_ROWS_MLP, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS_MLP, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLOCK_ROWS_MLP, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -102,11 +106,11 @@ def _fwd(x2, w1, b1, w2, b2, res2):
             bytes_accessed=2 * n * d * 2 + 2 * d * dh * 2,
             transcendentals=n * dh,
         ),
-    )(x2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), res2)
+    )(x2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), res2, gate2)
     return y
 
 
-def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref, gate_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
     # dW/db outputs use a constant index map: every grid step revisits the
     # same block, which stays resident in VMEM — the kernel accumulates
@@ -120,7 +124,7 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
     x = x_ref[:]
-    dy = dy_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32) * gate_ref[:]
     g = jax.lax.dot_general(
         x, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + b1_ref[:].astype(jnp.float32)
@@ -147,7 +151,7 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
     db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
 
 
-def _bwd_call(x2, w1, b1, w2, dy2):
+def _bwd_call(x2, w1, b1, w2, dy2, gate2):
     n, d = x2.shape
     dh = w1.shape[1]
     nb = n // BLOCK_ROWS_MLP
@@ -161,6 +165,7 @@ def _bwd_call(x2, w1, b1, w2, dy2):
             pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_ROWS_MLP, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS_MLP, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((BLOCK_ROWS_MLP, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -176,46 +181,58 @@ def _bwd_call(x2, w1, b1, w2, dy2):
             jax.ShapeDtypeStruct((dh, d), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
         ),
-    )(x2, w1, b1.reshape(1, -1), w2, dy2)
+    )(x2, w1, b1.reshape(1, -1), w2, dy2, gate2)
     return dx, dw1_p, db1_p[0], dw2_p, db2_p[0]
 
 
 @jax.custom_vjp
-def _fused_mlp2(x2, w1, b1, w2, b2, res2):
-    return _fwd(x2, w1, b1, w2, b2, res2)
+def _fused_mlp2(x2, w1, b1, w2, b2, res2, gate2):
+    return _fwd(x2, w1, b1, w2, b2, res2, gate2)
 
 
-def _fm_fwd(x2, w1, b1, w2, b2, res2):
-    y = _fwd(x2, w1, b1, w2, b2, res2)
-    return y, (x2, w1, b1, w2)
+def _fm_fwd(x2, w1, b1, w2, b2, res2, gate2):
+    y = _fwd(x2, w1, b1, w2, b2, res2, gate2)
+    return y, (x2, w1, b1, w2, gate2)
 
 
 def _fm_bwd(resid, dy):
-    x2, w1, b1, w2 = resid
-    dx, dw1, db1, dw2, db2 = _bwd_call(x2, w1, b1, w2, dy)
+    x2, w1, b1, w2, gate2 = resid
+    dx, dw1, db1, dw2, db2 = _bwd_call(x2, w1, b1, w2, dy, gate2)
     return (
         dx,
         dw1.astype(w1.dtype),
         db1.astype(b1.dtype),
         dw2.astype(w2.dtype),
         db2.astype(b1.dtype),
-        dy,  # residual passthrough gradient
+        dy,                        # residual passthrough gradient
+        jnp.zeros_like(gate2),     # gate is a non-diff rng mask
     )
 
 
 _fused_mlp2.defvjp(_fm_fwd, _fm_bwd)
 
 
-def fused_mlp(x, w1, b1, w2, b2, residual):
-    """y = gelu(x W1 + b1) W2 + b2 + residual over [..., D] activations."""
+def fused_mlp(x, w1, b1, w2, b2, residual, gate=None):
+    """y = gate * (gelu(x W1 + b1) W2 + b2) + residual over [..., D].
+
+    ``gate``: optional per-row stochastic-depth factor broadcastable to
+    x.shape[:-1] (0 or 1/keep_prob); defaults to ones (plain residual MLP).
+    """
     shape = x.shape
     d = shape[-1]
     x2 = x.reshape(-1, d)
     r2 = residual.reshape(-1, d)
     n = x2.shape[0]
+    if gate is None:
+        gate2 = jnp.ones((n, 1), jnp.float32)
+    else:
+        gate2 = jnp.broadcast_to(
+            gate.astype(jnp.float32)[..., None], shape[:-1] + (1,)
+        ).reshape(n, 1)
     n_pad = _pad_rows(n)
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
         r2 = jnp.pad(r2, ((0, n_pad - n), (0, 0)))
-    y = _fused_mlp2(x2, w1, b1, w2, b2, r2)
+        gate2 = jnp.pad(gate2, ((0, n_pad - n), (0, 0)))
+    y = _fused_mlp2(x2, w1, b1, w2, b2, r2, gate2)
     return y[:n].reshape(shape)
