@@ -140,11 +140,18 @@ def augment_bev(
 
     identity = (~do_rot) & (~do_scale)
 
-    def warp(img):
-        return jnp.where(identity, img, _bilinear_sample(img, src_rows, src_cols))
-
-    lidar_bev = warp(lidar_bev)
-    map_bev = warp(map_bev)
+    # Warp lidar and map as ONE concatenated tensor: a separate 9-channel
+    # map gather pads rows to the 128-lane tile (14x wasted bandwidth) and
+    # profiled at ~220 ms/step across the 4 bilinear corners; widening the
+    # 290-channel gather by 9 extra channels is nearly free.
+    cl = lidar_bev.shape[-1]
+    map_dtype = map_bev.dtype
+    combined = jnp.concatenate([lidar_bev, map_bev.astype(lidar_bev.dtype)], axis=-1)
+    combined = jnp.where(
+        identity, combined, _bilinear_sample(combined, src_rows, src_cols)
+    )
+    lidar_bev = combined[..., :cl]
+    map_bev = combined[..., cl:].astype(map_dtype)
 
     # GT: rotate centres + heading (utils.py:441-448), then scale cx,cy,w,l
     # (utils.py:478-479)
