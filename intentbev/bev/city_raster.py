@@ -19,7 +19,6 @@ the direct path (default) for reference-parity evaluation.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import numpy as np

@@ -26,7 +26,7 @@ from ..geometry import (
     se3_inverse,
     transform_points,
 )
-from ..bev.rasterize import MapElements, parse_map_json, rasterize_map_ego_centric
+from ..bev.rasterize import parse_map_json, rasterize_map_ego_centric
 
 
 class ScenarioPaths(NamedTuple):

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import time
-from functools import partial
 from typing import NamedTuple
 
 import jax

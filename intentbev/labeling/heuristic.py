@@ -203,7 +203,7 @@ def label_log_annotations(
     (reference preprocess_intent_labels.py:41-57). One pass per track
     instead of one dataframe filter per row.
     """
-    import pandas as pd
+
 
     df = annotations_df
     intents = np.full(len(df), -1, dtype=np.int32)

@@ -36,7 +36,7 @@ from .flash_attention import _key_bias, _pad_len
 
 LANE_BLOCK = 128          # channel block = LANE_BLOCK // head_dim heads
 BLOCK_Q_PK = 384          # fwd row-block (f32 score scratch ~7 MB; 512 overflows VMEM)
-BLOCK_BWD_PK = 128        # bwd row-blocks (two f32 tiles live)
+BLOCK_BWD_PK = 256        # bwd row-blocks (two f32 tiles live; raised VMEM limit)
 
 
 def _heads_per_block(dh: int) -> int:
@@ -278,7 +278,9 @@ def flash_attention_packed(
         return jnp.transpose(o, (0, 2, 1, 3)).reshape(b, t, dm)
     scale = 1.0 / (dh ** 0.5)
     real_len = t if seq_len is None else int(seq_len)
-    t_pad = _pad_len(t, max(BLOCK_Q_PK, BLOCK_BWD_PK))
+    import math
+
+    t_pad = _pad_len(t, math.lcm(BLOCK_Q_PK, BLOCK_BWD_PK))
 
     def prep(x):
         if t_pad != t:

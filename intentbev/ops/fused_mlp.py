@@ -16,7 +16,6 @@ row-block (reduced outside), like ops/layernorm.py:
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
