@@ -228,24 +228,37 @@ class ArgoverseSampleLoader:
         require_intent_labels: bool = True,
         verbose: bool = True,
         use_city_raster_cache: bool = False,
+        max_cached_logs: int = 32,
     ):
         """``use_city_raster_cache``: rasterize each log's map once in the
         city frame and warp per sample (fast path, bev.city_raster) instead
-        of re-drawing polygons per unique pose (parity path)."""
+        of re-drawing polygons per unique pose (parity path).
+        ``max_cached_logs``: LRU bound on per-log caches (poses + GT df +
+        parsed map are MBs per log; the reference caches every log it ever
+        touches, dataset.py:222)."""
+        from collections import OrderedDict
+
         self.grid = grid
         self.max_points_per_sweep = max_points_per_sweep
         self.max_gt = max_gt
         self.require_intent_labels = require_intent_labels
         self.verbose = verbose
         self.use_city_raster_cache = use_city_raster_cache
-        self._log_cache: dict[str, dict | None] = {}
+        self.max_cached_logs = max_cached_logs
+        self._log_cache: "OrderedDict[str, dict | None]" = OrderedDict()
+        import threading
+
+        self._cache_lock = threading.Lock()  # loaders run in a thread pool
 
     # -- per-log cache ----------------------------------------------------
     def _get_log_data(self, seq: SequenceInfo) -> dict | None:
         import pandas as pd
 
-        if seq.log_id in self._log_cache:
-            return self._log_cache[seq.log_id]
+        with self._cache_lock:
+            if seq.log_id in self._log_cache:
+                self._log_cache.move_to_end(seq.log_id)
+                return self._log_cache[seq.log_id]
+        entry: dict | None
         try:
             log_dir = Path(seq.log_dir)
             intent_file = log_dir / "annotations_with_intent.feather"
@@ -257,27 +270,33 @@ class ArgoverseSampleLoader:
                         f"ERROR: pre-computed intent file missing for log "
                         f"{seq.log_id}; run intentbev-precompute-labels."
                     )
-                self._log_cache[seq.log_id] = None
-                return None
+                gt_df = None
             else:
                 gt_df = pd.read_feather(seq.annotations_path)
 
-            poses_df = pd.read_feather(log_dir / "city_SE3_egovehicle.feather")
-            poses = {
-                int(r.timestamp_ns): r for r in poses_df.itertuples(index=False)
-            }
-            elements = parse_map_json(seq.map_json_path)
-            self._log_cache[seq.log_id] = {
-                "gt_df": gt_df,
-                "poses": poses,
-                "map_elements": elements,
-                "map_raster_cache": {},
-            }
+            if gt_df is None:
+                entry = None
+            else:
+                poses_df = pd.read_feather(log_dir / "city_SE3_egovehicle.feather")
+                poses = {
+                    int(r.timestamp_ns): r for r in poses_df.itertuples(index=False)
+                }
+                elements = parse_map_json(seq.map_json_path)
+                entry = {
+                    "gt_df": gt_df,
+                    "poses": poses,
+                    "map_elements": elements,
+                    "map_raster_cache": {},
+                }
         except Exception as e:  # noqa: BLE001 - fault-tolerant data path
             if self.verbose:
                 print(f"Error caching log {seq.log_id}: {e}")
-            self._log_cache[seq.log_id] = None
-        return self._log_cache[seq.log_id]
+            entry = None
+        with self._cache_lock:
+            while len(self._log_cache) >= self.max_cached_logs:
+                self._log_cache.popitem(last=False)
+            self._log_cache[seq.log_id] = entry
+        return entry
 
     # -- sample production -------------------------------------------------
     def load(self, seq: SequenceInfo) -> Sample | None:

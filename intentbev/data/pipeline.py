@@ -81,6 +81,7 @@ def batch_iterator(
         pending = []
         for k in range(len(order)):
             s = futures[k].result()
+            futures[k] = None  # release the Sample (10s of MB each) promptly
             if next_submit < len(order):
                 futures.append(
                     pool.submit(loader.load, sequences[int(order[next_submit])])

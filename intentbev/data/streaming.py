@@ -99,6 +99,28 @@ def voxelize_ring(
     return voxelize_packed(pts_cur, valid, grid, out_dtype=out_dtype)
 
 
+def batched_voxelize_rings(
+    rings: SweepRing,
+    current_world_se3: jnp.ndarray,  # f32[B, 4, 4]
+    grid: GridConfig,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Voxelize a fleet of B independent stream rings -> [B, H, W, S*Z].
+
+    ``rings``: a SweepRing whose leaves carry a leading batch dim (stack B
+    single-stream rings with jax.tree.map). Feeds directly into
+    parallel.StreamingInferencer for batch-sharded multi-stream serving.
+    """
+    return jax.vmap(lambda r, p: voxelize_ring(r, p, grid, out_dtype=out_dtype))(
+        rings, current_world_se3
+    )
+
+
+def stack_rings(rings: list[SweepRing]) -> SweepRing:
+    """B single-stream rings -> one batched SweepRing pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *rings)
+
+
 def se3_from_pose_row(pose) -> np.ndarray:
     """Convenience: AV2 pose row (tx_m..qw) -> 4x4 world_SE3_ego (host)."""
     from ..geometry import se3_from_quat_translation

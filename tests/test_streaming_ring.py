@@ -57,6 +57,27 @@ class TestSweepRing:
         assert bev[..., (S - 1) * z:].max() > 0
         assert bev[..., : (S - 1) * z].max() == 0
 
+    def test_batched_rings(self, rng):
+        from intentbev.data.streaming import batched_voxelize_rings, stack_rings
+        import jax
+
+        S, P, B = 2, 60, 3
+        rings, poses = [], []
+        for b in range(B):
+            ring = make_ring(S, P)
+            for i in range(S):
+                pts = np.stack([rng.uniform(-5, 5, P), rng.uniform(-5, 5, P),
+                                rng.uniform(-1, 1, P), np.full(P, b + 1.0)], 1).astype(np.float32)
+                ring = push_sweep(ring, jnp.asarray(pts), jnp.ones(P, bool),
+                                  jnp.asarray(np.eye(4), dtype=jnp.float32))
+            rings.append(ring)
+            poses.append(np.eye(4, dtype=np.float32))
+        batched = stack_rings(rings)
+        bev = np.asarray(batched_voxelize_rings(batched, jnp.asarray(np.stack(poses)), GRID))
+        assert bev.shape == (B, 64, 96, 8)
+        for b in range(B):
+            assert bev[b].max() == b + 1.0  # streams stay independent
+
     def test_ring_wraps(self, rng):
         S, P = 2, 50
         ring = make_ring(S, P)
