@@ -155,14 +155,23 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        residual: jnp.ndarray | None = None,
+        gate: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """``residual``/``gate``: when given (TPU flash path), the output
+        projection runs as a fused residual kernel — y = gate*(out W + b) +
+        residual — removing one full activation read+write per block."""
         b, t, d = x.shape
         head_dim = d // self.num_heads
         qkv = nn.Dense(
             3 * d, use_bias=self.qkv_bias, kernel_init=_dense_init,
             dtype=self.dtype, name="qkv",
         )(x)
-        if self.use_flash and jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        if self.use_flash and on_tpu:
             # packed kernels consume the Dense layout [B, T, H*D] directly —
             # no physical head transposes (profiled ~16 ms/step of copies
             # on the full twin-ViT with the BHTD layout)
@@ -182,23 +191,15 @@ class Attention(nn.Module):
                 q, k, v, use_flash=self.use_flash, kv_len=self.kv_len
             )
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
-        return nn.Dense(d, kernel_init=_dense_init, dtype=self.dtype, name="proj")(out)
-
-
-class DropPath(nn.Module):
-    """Per-sample stochastic depth (timm DropPath semantics)."""
-
-    rate: float
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        if self.rate == 0.0 or deterministic:
-            return x
-        keep = 1.0 - self.rate
-        rng = self.make_rng("dropout")
-        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, mask_shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+        # NOTE: a fused Pallas proj+residual kernel (ops.fused_proj) was
+        # measured in-model and came out slightly SLOWER than this path —
+        # XLA already fuses the gate/residual into the matmul epilogue here.
+        y = nn.Dense(d, kernel_init=_dense_init, dtype=self.dtype, name="proj")(out)
+        if gate is not None:
+            y = y * gate[..., None].astype(y.dtype)
+        if residual is not None:
+            y = y + residual
+        return y
 
 
 class EncoderBlock(nn.Module):
@@ -212,33 +213,39 @@ class EncoderBlock(nn.Module):
     fused_mlp: bool = True
     dtype: Any = jnp.float32
 
+    def _drop_path_gate(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-sample stochastic-depth gate (0 or 1/keep), broadcast over
+        tokens — same distribution as timm DropPath."""
+        keep = 1.0 - self.drop_path_rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1))
+        return jnp.broadcast_to(mask.astype(jnp.float32) / keep, x.shape[:-1])
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         d = x.shape[-1]
+        use_gates = self.drop_path_rate > 0.0 and not deterministic
         norm_cls = PallasLayerNorm if self.fused_ln else FastLayerNorm
+
         h = norm_cls(dtype=self.dtype, name="norm1")(x)
-        h = Attention(
+        x = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             use_flash=self.use_flash, kv_len=self.kv_len,
             dtype=self.dtype, name="attn",
-        )(h.astype(self.dtype))
-        x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic)
+        )(
+            h.astype(self.dtype),
+            residual=x,
+            gate=self._drop_path_gate(x) if use_gates else None,
+        )
         h = norm_cls(dtype=self.dtype, name="norm2")(x)
         mlp = Mlp(
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
             fused=self.fused_mlp, dtype=self.dtype, name="mlp",
         )
-        gate = None
-        if self.drop_path_rate > 0.0 and not deterministic:
-            # stochastic depth as a per-sample gate (0 or 1/keep), folded
-            # into the MLP epilogue — keeps the fused kernel in training
-            keep = 1.0 - self.drop_path_rate
-            rng = self.make_rng("dropout")
-            mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1))
-            gate = jnp.broadcast_to(
-                mask.astype(jnp.float32) / keep, x.shape[:-1]
-            )
-        x = mlp(h.astype(self.dtype), residual=x, gate=gate)
+        x = mlp(
+            h.astype(self.dtype), residual=x,
+            gate=self._drop_path_gate(x) if use_gates else None,
+        )
         return x
 
 

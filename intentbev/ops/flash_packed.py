@@ -35,8 +35,8 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 from .flash_attention import _key_bias, _pad_len
 
 LANE_BLOCK = 128          # channel block = LANE_BLOCK // head_dim heads
-BLOCK_Q_PK = 384          # fwd row-block (f32 score scratch ~7 MB; 512 overflows VMEM)
-BLOCK_BWD_PK = 256        # bwd row-blocks (two f32 tiles live; raised VMEM limit)
+BLOCK_Q_PK = 384          # fwd row-block (512 measured slightly slower)
+BLOCK_BWD_PK = 256        # bwd row-blocks (384 measured no better)
 
 
 def _heads_per_block(dh: int) -> int:
