@@ -148,7 +148,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref,
                     dk_ref, dv_ref):
     q = q_ref[0]          # [T_pad, D] (full, pre-scaled)
     k = k_ref[0]          # [BLOCK_K, D]
@@ -156,13 +156,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
     do = do_ref[0]        # [T_pad, D]
     lse = l_ref[0][:, 0]        # [T_pad]
     delta = delta_ref[0][:, 0]
-    # S^T tile: [BLOCK_K, T_pad] = K Q^T; the bias row masks padded QUERY
-    # columns — their exp underflows to exactly 0, so they contribute
-    # nothing to dK/dV.
+    # S^T tile: [BLOCK_K, T_pad] = K Q^T. No query-axis mask: every query
+    # row (padded ones included) produces a forward output, so all columns
+    # legitimately contribute to dK/dV whenever their dO is nonzero. The
+    # KEY-axis mask (rows >= seq_len, whose forward contribution was zeroed
+    # by the -inf key bias) is applied after the pallas_call by zeroing the
+    # padded dk/dv rows — exp(S^T - lse) for those rows is O(1) nonzero
+    # here, so they MUST be discarded outside.
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    st = st + bias_ref[0]
     pt = jnp.exp(st - lse[None, :])          # P^T [BLOCK_K, T_pad]
     # dV = P^T dO
     dv = jax.lax.dot_general(
@@ -223,7 +226,6 @@ def _bwd(seq_len: int, res, g):
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -233,7 +235,14 @@ def _bwd(seq_len: int, res, g):
             jax.ShapeDtypeStruct((bh, t_pad, d), k3.dtype),
             jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
         ),
-    )(q3, k3, v3, do3, lse, delta, bias)
+    )(q3, k3, v3, do3, lse, delta)
+    if seq_len < t_pad:
+        # Padded KEY rows were masked (-inf) in the forward: their true
+        # gradient is exactly zero, but the dkv kernel computes garbage for
+        # them (see _bwd_dkv_kernel docnote). seq_len is static, so this is
+        # a cheap fused update.
+        dk = dk.at[:, seq_len:].set(0)
+        dv = dv.at[:, seq_len:].set(0)
     return dq, dk, dv
 
 

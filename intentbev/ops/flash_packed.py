@@ -139,21 +139,25 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref,
                     dk_ref, dv_ref, p_buf, t_buf,
                     *, heads_in_block: int, scale: float):
+    # No query-axis mask: every query row (padded ones included) produces a
+    # forward output, so all S^T columns legitimately contribute to dK/dV
+    # whenever their dO is nonzero. Padded KEY rows (>= seq_len) compute
+    # garbage here — exp(k_pad.q - lse) is O(1) nonzero — and are zeroed
+    # after the pallas_call in _bwd (their true gradient is exactly 0).
     q = q_ref[0]          # [T_pad, 128] full panel for this head pair
     k = k_ref[0]          # [BK, 128]
     v = v_ref[0]
     do = do_ref[0]        # [T_pad, 128]
-    bias = bias_ref[0]    # masks padded QUERY columns
     dh = q.shape[-1] // heads_in_block
     for h in range(heads_in_block):
         sl = slice(h * dh, (h + 1) * dh)
         p_buf[:] = jax.lax.dot_general(
             k[:, sl], (q[:, sl] * jnp.asarray(scale, q.dtype)),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) + bias
+        )
         p_buf[:] = jnp.exp(p_buf[:] - l_ref[0, h][:, 0][None, :])
         dv = jax.lax.dot_general(
             p_buf[:].astype(do.dtype), do[:, sl], (((1,), (0,)), ((), ())),
@@ -227,7 +231,6 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
             pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, t_pad, 1), lambda i, p, j: (i, p, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, t_pad, 1), lambda i, p, j: (i, p, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
@@ -241,7 +244,13 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
             pltpu.VMEM((bq, t_pad), jnp.float32),
             pltpu.VMEM((bq, t_pad), jnp.float32),
         ],
-    )(q3, k3, v3, do3, lse, delta, bias)
+    )(q3, k3, v3, do3, lse, delta)
+    if seq_len < t_pad:
+        # Padded KEY rows were masked (-inf) in the forward: their true
+        # gradient is exactly zero; the dkv kernel computes garbage for
+        # them (see _bwd_dkv_kernel). seq_len is static -> cheap fused op.
+        dk = dk.at[:, seq_len:].set(0)
+        dv = dv.at[:, seq_len:].set(0)
     return dq, dk, dv
 
 

@@ -53,3 +53,27 @@ class TestFlashBackward:
         np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
+
+    def test_grads_prepadded_block_aligned(self, rng):
+        """seq_len < T with T block-aligned: no internal pad/slice hides the
+        kernel outputs, so masked-key dk/dv rows must be exactly zero and
+        real rows must match the dense oracle even with nonzero dO on
+        padded query rows (loss sums over ALL rows)."""
+        t, real = 512, 450
+        q, k, v = _qkv(rng, t=t, h=2)
+
+        def loss_flash(q, k, v):
+            with pltpu.force_tpu_interpret_mode():
+                return jnp.sum(jnp.sin(flash_attention(q, k, v, seq_len=real)))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(reference_attention(q, k, v, kv_len=real)))
+
+        with pltpu.force_tpu_interpret_mode():
+            gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
+        assert np.all(np.asarray(gk)[:, :, real:] == 0.0)
+        assert np.all(np.asarray(gv)[:, :, real:] == 0.0)

@@ -85,3 +85,39 @@ class TestPackedBackward:
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+    def test_grads_prepadded_block_aligned(self, rng):
+        """seq_len < T with T already block-aligned (the flagship regime).
+
+        T = 768 = lcm(BLOCK_Q_PK, BLOCK_BWD_PK) means no internal pad/slice
+        happens, so the kernels' own outputs ARE the gradients: padded KEY
+        rows of dk/dv must be exactly zero and real rows must match the
+        dense oracle even when dO is nonzero on padded QUERY rows (the loss
+        below sums over ALL T rows on purpose).
+        """
+        b, h, dh, t, real = 1, 2, 64, 768, 700
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+
+        def loss_packed(q, k, v):
+            with pltpu.force_tpu_interpret_mode():
+                return jnp.sum(jnp.sin(flash_attention_packed(q, k, v, h, seq_len=real)))
+
+        def loss_ref(q, k, v):
+            def to_bhtd(x):
+                return jnp.transpose(x.reshape(b, t, h, dh), (0, 2, 1, 3))
+            o = reference_attention(to_bhtd(q), to_bhtd(k), to_bhtd(v), kv_len=real)
+            return jnp.sum(jnp.sin(jnp.transpose(o, (0, 2, 1, 3)).reshape(b, t, dm)))
+
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        names = ["dq", "dk", "dv"]
+        for name, a, b_ in zip(names, gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, err_msg=name)
+        # masked keys must get EXACTLY zero gradient
+        assert np.all(np.asarray(gp[1])[:, real:] == 0.0)
+        assert np.all(np.asarray(gp[2])[:, real:] == 0.0)

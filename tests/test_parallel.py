@@ -140,3 +140,22 @@ class TestShardedStep:
         s2, m2 = step(s1, batch, jax.random.key(0))
         assert np.isfinite(float(m2["loss"]))
         assert int(np.asarray(s2.step)) == 2
+
+
+class TestDriverDryrun:
+    """The driver-facing __graft_entry__.dryrun_multichip contract."""
+
+    def test_dryrun_inprocess(self):
+        # conftest gives this process 8 virtual CPU devices -> in-process path
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(8)
+
+    def test_dryrun_subprocess_bootstrap(self):
+        # The path the driver hits on the 1-device axon backend: the dry run
+        # must re-exec itself in a child that forces an 8-device CPU mesh.
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from __graft_entry__ import _dryrun_subprocess
+        _dryrun_subprocess(8)
