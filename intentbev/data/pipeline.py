@@ -132,6 +132,10 @@ def device_prefetch(iterator: Iterator, size: int = 2, put=None) -> Iterator:
         try:
             for item in iterator:
                 q.put(put(item))
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            # A loader/transfer crash must surface in the training loop, not
+            # silently truncate the epoch.
+            q.put(_ProducerError(exc))
         finally:
             q.put(sentinel)
 
@@ -141,4 +145,13 @@ def device_prefetch(iterator: Iterator, size: int = 2, put=None) -> Iterator:
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, _ProducerError):
+            raise item.exc
         yield item
+
+
+class _ProducerError:
+    """Wrapper distinguishing a producer exception from a yielded batch."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

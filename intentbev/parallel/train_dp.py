@@ -44,8 +44,15 @@ def shard_train_state(state: TrainState, mesh, cfg: ExperimentConfig) -> TrainSt
     )
 
 
-def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh):
-    """Like train.make_train_step but with explicit in/out shardings."""
+def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh,
+                            intention_weights=None):
+    """Like train.make_train_step but with explicit in/out shardings.
+
+    ``intention_weights``: optional [num_intentions] class weights — same
+    contract as the single-device step (reference train_vit.py:92-121);
+    silently dropping them under --distributed would diverge from
+    single-device behaviour.
+    """
     grid, aug_cfg, loss_cfg = cfg.grid, cfg.augment, cfg.loss
     b_shard = batch_sharding(mesh, cfg.mesh)
     rep = replicated(mesh)
@@ -78,6 +85,7 @@ def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh):
                 cls_l, box_d, int_l, anchors,
                 aug.gt_boxes, aug.gt_intentions, batch["gt_valid"],
                 loss_cfg, rng_loss,
+                intention_class_weights=intention_weights,
             )
             return loss_out["loss"], (loss_out, upd.get("batch_stats", state.batch_stats))
 

@@ -84,6 +84,19 @@ class PlateauScheduler:
                 self.bad_epochs = 0
         return self.lr
 
+    def state(self) -> dict:
+        """Checkpointable state (resume must not reset LR/plateau tracking)."""
+        return {
+            "lr": np.float32(self.lr),
+            "best": np.float32(self.best),
+            "bad_epochs": np.int32(self.bad_epochs),
+        }
+
+    def restore(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        self.best = float(d["best"])
+        self.bad_epochs = int(d["bad_epochs"])
+
 
 def set_learning_rate(opt_state, lr: float):
     """Write the injected hyperparam in-place (pytree-functional)."""
@@ -240,6 +253,11 @@ def train(
             "weights are ignored by the loss (reference train_vit.py:89-91)"
         )
 
+    scheduler = PlateauScheduler(
+        cfg.train.learning_rate, cfg.train.plateau_factor, cfg.train.plateau_patience
+    )
+    start_epoch = 0
+    step_count = 0
     if resume:
         from .checkpoint import latest_step, load_checkpoint
 
@@ -247,20 +265,38 @@ def train(
             abstract = {
                 "params": state.params, "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state, "step": state.step,
+                "loop": {"lr": np.zeros((), np.float32),
+                         "best": np.zeros((), np.float32),
+                         "bad_epochs": np.zeros((), np.int32),
+                         "epoch": np.zeros((), np.int32)},
             }
             restored, _ = load_checkpoint(out_dir, abstract)
             state = TrainState(
                 params=restored["params"], batch_stats=restored["batch_stats"],
                 opt_state=restored["opt_state"], step=restored["step"],
             )
-            log_fn(f"resumed from step {int(np.asarray(state.step))}")
+            # Faithful resume: LR / plateau tracking / epoch accounting
+            # continue where they stopped (reference regime is per-epoch
+            # plateau decay, train_vit.py:131 — resetting LR to base on
+            # resume would silently change the schedule). The data iterator
+            # position is NOT saved: a mid-epoch resume replays the
+            # interrupted epoch from its start.
+            scheduler.restore(restored["loop"])
+            start_epoch = int(restored["loop"]["epoch"])
+            step_count = int(np.asarray(state.step))
+            log_fn(
+                f"resumed from step {step_count} (epoch {start_epoch}, "
+                f"lr {scheduler.lr:.2e}, best {scheduler.best:.4f})"
+            )
 
     anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
     mesh = None
     batch_to_device = jax.device_put
+    local_batch_size = cfg.train.batch_size
+    local_sequences = sequences
     if distributed:
         from .parallel import (
-            batch_sharding, create_mesh, make_sharded_train_step,
+            create_mesh, local_batch_slice, make_sharded_train_step,
             shard_train_state,
         )
 
@@ -271,27 +307,57 @@ def train(
                 f"batch_size {cfg.train.batch_size} not divisible by the "
                 f"data axis ({data_dim} of mesh {mesh.devices.shape})"
             )
+        nproc = jax.process_count()
+        if nproc > 1:
+            # Multi-host DCN: each process loads only ITS slice of the
+            # global batch; local_batch_slice assembles the global sharded
+            # array via jax.make_array_from_process_local_data. Sequences
+            # are round-robin sharded and truncated to a common per-process
+            # length so all processes run the same number of steps (a
+            # straggler would deadlock the collectives). Caveat: a process
+            # whose loader DROPS a failed sample mid-epoch still desyncs —
+            # real-data multi-host runs should precompute labels so loads
+            # are infallible.
+            if cfg.train.batch_size % nproc != 0:
+                raise ValueError(
+                    f"batch_size {cfg.train.batch_size} not divisible by "
+                    f"process_count {nproc}"
+                )
+            local_batch_size = cfg.train.batch_size // nproc
+            per_proc = len(sequences) // nproc
+            pid = jax.process_index()
+            local_sequences = sequences[pid::nproc][:per_proc]
+            log_fn(
+                f"multi-host: process {pid}/{nproc}, "
+                f"{len(local_sequences)} local sequences, "
+                f"local batch {local_batch_size}"
+            )
         log_fn(f"distributed: mesh {mesh.devices.shape} (data x model)")
         state = shard_train_state(state, mesh, cfg)
-        train_step = make_sharded_train_step(model, cfg, anchors, tx, mesh)(state)
-        b_shard = batch_sharding(mesh, cfg.mesh)
-        batch_to_device = lambda b: jax.device_put(b, b_shard)  # noqa: E731
+        train_step = make_sharded_train_step(
+            model, cfg, anchors, tx, mesh, intention_weights
+        )(state)
+        batch_to_device = lambda b: local_batch_slice(b, mesh, cfg.mesh)  # noqa: E731
     else:
         train_step = make_train_step(model, cfg, anchors, tx, intention_weights)
-    scheduler = PlateauScheduler(
-        cfg.train.learning_rate, cfg.train.plateau_factor, cfg.train.plateau_patience
-    )
     out_path = Path(out_dir)
     from .utils.profiling import MetricsLogger
 
     mlog = MetricsLogger(out_path / "metrics.jsonl")
-    step_count = 0
     last_metrics: dict = {}
     t_start = time.time()
 
-    for epoch in range(cfg.train.num_epochs):
+    def ckpt_state(epoch: int) -> dict:
+        return {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step,
+            "loop": {**scheduler.state(), "epoch": np.int32(epoch)},
+        }
+
+    epoch = start_epoch - 1  # final-save accounting if the loop body never runs
+    for epoch in range(start_epoch, cfg.train.num_epochs):
         it = batch_iterator(
-            sequences, loader, cfg.train.batch_size, shuffle=True,
+            local_sequences, loader, local_batch_size, shuffle=True,
             seed=cfg.train.seed + epoch, num_workers=num_workers, drop_last=True,
         )
         accum = {"loss": 0.0, "cls_loss": 0.0, "box_loss": 0.0, "intent_loss": 0.0}
@@ -315,12 +381,11 @@ def train(
             for k in accum:
                 accum[k] += float(metrics[k])
             if step_count % cfg.train.checkpoint_every_steps == 0:
-                save_checkpoint(
-                    out_path, step_count,
-                    {"params": state.params, "batch_stats": state.batch_stats,
-                     "opt_state": state.opt_state, "step": state.step},
-                    cfg,
-                )
+                # step_count is the GLOBAL step (initialised from the
+                # restored step on resume) so checkpoint names keep sorting
+                # after the pre-resume ones and _prune never deletes newer
+                # progress.
+                save_checkpoint(out_path, step_count, ckpt_state(epoch), cfg)
             if max_steps is not None and step_count >= max_steps:
                 break
         if n_batches:
@@ -334,12 +399,7 @@ def train(
         if max_steps is not None and step_count >= max_steps:
             break
 
-    save_checkpoint(
-        out_path, step_count,
-        {"params": state.params, "batch_stats": state.batch_stats,
-         "opt_state": state.opt_state, "step": state.step},
-        cfg,
-    )
+    save_checkpoint(out_path, step_count, ckpt_state(epoch + 1), cfg)
     log_fn(f"saved final checkpoint at step {step_count} to {out_path}")
     return last_metrics
 

@@ -125,6 +125,51 @@ class TestShardedStep:
         p_new = jax.tree.leaves(new_state.params)[0]
         np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_ref), atol=5e-4)
 
+    def test_intention_weights_respected_in_sharded_step(self):
+        """--distributed + --use_intention_weights must match single-device
+        (weights silently dropped in the sharded step was a real bug)."""
+        cfg = tiny_test_config()
+        cfg = dataclasses.replace(
+            cfg,
+            mesh=MeshConfig(model_parallel=1),
+            loss=dataclasses.replace(cfg.loss, apply_intention_downsampling=False),
+            augment=dataclasses.replace(
+                cfg.augment, flip_prob=0, rotate_prob=0, scale_prob=0, dropout_prob=0
+            ),
+        )
+        model = build_model(cfg, train_mode=True)
+        tx = make_optimizer(cfg)
+        state = init_train_state(model, cfg, tx, jax.random.key(0))
+        anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
+        batch = _make_batch(cfg)
+        rng = jax.random.key(42)
+        w = jnp.asarray(np.linspace(0.01, 0.5, 8, dtype=np.float32))
+
+        ref_step = make_train_step(model, cfg, anchors, tx, intention_weights=w)
+        _, metrics_ref = ref_step(jax.tree.map(jnp.copy, state),
+                                  jax.device_put(batch), rng)
+
+        mesh = create_mesh(cfg.mesh)
+        sharded_state = shard_train_state(state, mesh, cfg)
+        step = make_sharded_train_step(
+            model, cfg, anchors, tx, mesh, intention_weights=w
+        )(sharded_state)
+        batch_dev = jax.device_put(batch, batch_sharding(mesh, cfg.mesh))
+        _, metrics = step(sharded_state, batch_dev, rng)
+        np.testing.assert_allclose(
+            float(metrics["intent_loss"]), float(metrics_ref["intent_loss"]),
+            rtol=2e-4,
+        )
+
+        # and the weights actually change the loss vs the unweighted step
+        # (the first step donated its input state, so re-shard a fresh one)
+        sharded_state2 = shard_train_state(
+            init_train_state(model, cfg, tx, jax.random.key(0)), mesh, cfg
+        )
+        step_nw = make_sharded_train_step(model, cfg, anchors, tx, mesh)(sharded_state2)
+        _, metrics_nw = step_nw(sharded_state2, batch_dev, rng)
+        assert abs(float(metrics_nw["intent_loss"]) - float(metrics["intent_loss"])) > 1e-6
+
     def test_second_step_reuses_compile(self):
         cfg = tiny_test_config()
         cfg = dataclasses.replace(cfg, mesh=MeshConfig(model_parallel=2))

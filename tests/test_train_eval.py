@@ -95,3 +95,59 @@ class TestEvalLoop:
             assert 0.0 <= results[f"mAP@{t:.1f}"] <= 1.0
         joined = "\n".join(logs)
         assert "mAP @ IoU=0.5" in joined
+
+
+class TestFaithfulResume:
+    def test_resume_continues_lr_epoch_and_step(self, data_root, tiny_cfg, tmp_path):
+        """Resume must keep the global step (checkpoint names stay monotone),
+        the plateau scheduler state, and the epoch counter."""
+        import dataclasses as dc
+
+        from intentbev.checkpoint import load_checkpoint
+        from intentbev.train import train
+
+        out = tmp_path / "resume_run"
+        # Phase 1: 2 epochs, checkpoint every step so a resumable state exists
+        cfg1 = dc.replace(
+            tiny_cfg,
+            train=dc.replace(tiny_cfg.train, num_epochs=2,
+                             checkpoint_every_steps=1),
+        )
+        train(cfg1, str(data_root / "train"), str(out),
+              num_workers=1, log_fn=lambda *_: None)
+        state1, _ = load_checkpoint(out)
+        step1 = int(np.asarray(state1["step"]))
+        assert step1 > 0
+        assert int(state1["loop"]["epoch"]) == 2  # both epochs completed
+        lr1 = float(state1["loop"]["lr"])
+        best1 = float(state1["loop"]["best"])
+
+        # Phase 2: raise num_epochs and resume; new checkpoints must sort
+        # AFTER the phase-1 ones and scheduler state must carry over.
+        logs = []
+        cfg2 = dc.replace(
+            cfg1, train=dc.replace(cfg1.train, num_epochs=3,
+                                   checkpoint_every_steps=1),
+        )
+        train(cfg2, str(data_root / "train"), str(out),
+              num_workers=1, log_fn=logs.append, resume=True)
+        assert any(f"resumed from step {step1}" in str(line) for line in logs)
+        state2, _ = load_checkpoint(out)
+        step2 = int(np.asarray(state2["step"]))
+        assert step2 > step1, "post-resume checkpoints were pruned/misnamed"
+        assert int(state2["loop"]["epoch"]) == 3
+        # best-loss tracking survived the resume (not reset to inf)
+        assert float(state2["loop"]["best"]) <= best1
+        assert float(state2["loop"]["lr"]) <= lr1
+
+    def test_prefetch_propagates_producer_errors(self):
+        from intentbev.data.pipeline import device_prefetch
+
+        def boom():
+            yield np.zeros(3)
+            raise RuntimeError("loader crashed")
+
+        it = device_prefetch(boom(), size=2, put=lambda x: x)
+        next(it)
+        with pytest.raises(RuntimeError, match="loader crashed"):
+            next(it)
