@@ -51,13 +51,19 @@ class EvalAccum(NamedTuple):
     confusion: jnp.ndarray   # i32[C, C]
 
 
-def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray):
+def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray,
+                   mesh=None):
+    """Jitted eval step; with ``mesh`` the batch is sharded over the 'data'
+    axis and the EvalAccum updates become cross-device reductions (the
+    per-sample sums over the sharded batch dimension lower to psums under
+    GSPMD), so N chips evaluate N batch shards for the price of one.
+    SURVEY.md §2.2 'on-device eval collectives'; per-sample semantics are
+    identical to the single-device path (eval_cnn.py:199-322)."""
     grid, ev = cfg.grid, cfg.eval
     iou_thresholds = tuple(float(t) for t in ev.detection_iou_thresholds)
     num_classes = cfg.heads.num_intention_classes
 
-    @jax.jit
-    def eval_step(variables, batch, sample_valid, accum: EvalAccum):
+    def eval_step_fn(variables, batch, sample_valid, accum: EvalAccum):
         lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, grid))(
             batch["points"], batch["points_valid"]
         )
@@ -107,6 +113,25 @@ def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray):
             confusion=jnp.zeros((num_classes, num_classes), dtype=jnp.int32),
         )
 
+    if mesh is None:
+        eval_step = jax.jit(eval_step_fn)
+    else:
+        from .parallel.sharding import batch_sharding, replicated
+
+        b_shard = batch_sharding(mesh, cfg.mesh)
+        rep = replicated(mesh)
+        batch_shardings = {
+            "points": b_shard, "points_valid": b_shard, "map_bev": b_shard,
+            "gt_boxes": b_shard, "gt_intentions": b_shard, "gt_valid": b_shard,
+        }
+        accum_shardings = EvalAccum(ap_sum=rep, num_samples=rep, confusion=rep)
+        # variables keep the (replicated) sharding the caller device_put them
+        # with; detections come back batch-sharded.
+        eval_step = jax.jit(
+            eval_step_fn,
+            in_shardings=(None, batch_shardings, b_shard, accum_shardings),
+            out_shardings=(accum_shardings, None),
+        )
     return eval_step, init_accum
 
 
@@ -117,6 +142,7 @@ def evaluate(
     num_workers: int = 4,
     max_batches: int | None = None,
     log_fn=print,
+    distributed: bool = False,
 ) -> dict:
     state, cfg = load_checkpoint(ckpt_dir)
     if cfg_override is not None:
@@ -126,7 +152,24 @@ def evaluate(
     if state.get("batch_stats"):
         variables["batch_stats"] = state["batch_stats"]
     anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
-    eval_step, init_accum = make_eval_step(model, cfg, anchors)
+    mesh = None
+    batch_to_device = jax.device_put
+    if distributed:
+        from .parallel import batch_sharding, create_mesh
+        from .parallel.sharding import replicated
+
+        mesh = create_mesh(cfg.mesh)
+        data_dim = mesh.devices.shape[0]
+        if cfg.eval.batch_size % data_dim != 0:
+            raise ValueError(
+                f"eval batch_size {cfg.eval.batch_size} not divisible by "
+                f"the data axis ({data_dim} of mesh {mesh.devices.shape})"
+            )
+        log_fn(f"distributed eval: mesh {mesh.devices.shape} (data x model)")
+        variables = jax.device_put(variables, replicated(mesh))
+        b_shard = batch_sharding(mesh, cfg.mesh)
+        batch_to_device = lambda b: jax.device_put(b, b_shard)  # noqa: E731
+    eval_step, init_accum = make_eval_step(model, cfg, anchors, mesh=mesh)
 
     scenarios = ScenarioValidator(data_dir).find_valid_scenarios()
     sequences = build_sequence_index(scenarios, cfg.grid.lidar_sweeps)
@@ -139,11 +182,13 @@ def evaluate(
     t0 = time.time()
     n = 0
     it = batch_iterator(sequences, loader, cfg.eval.batch_size, num_workers=num_workers)
-    for batch in device_prefetch(iter(it), size=2):
+
+    def pad_and_put(batch):
         padded, sample_valid = pad_batch(batch, cfg.eval.batch_size)
-        accum, _ = eval_step(
-            variables, padded._asdict(), jnp.asarray(sample_valid), accum
-        )
+        return batch_to_device((padded._asdict(), np.asarray(sample_valid)))
+
+    for bdict, sample_valid in device_prefetch(iter(it), size=2, put=pad_and_put):
+        accum, _ = eval_step(variables, bdict, sample_valid, accum)
         n += 1
         if max_batches is not None and n >= max_batches:
             break
@@ -186,6 +231,9 @@ def main(argv=None):
     p.add_argument("--rotated_iou", action="store_true",
                    help="exact rotated IoU for AP + intention matching "
                         "(reference EVAL_USE_ROTATED_IOU, eval_cnn.py:29)")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard eval batches over the 'data' axis of a mesh "
+                        "of all visible devices (psum-reduced accumulators)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -201,7 +249,8 @@ def main(argv=None):
             cfg, eval=dataclasses.replace(cfg.eval, use_rotated_iou=True)
         )
     evaluate(args.ckpt_dir, args.data_dir, cfg_override=cfg_override,
-             num_workers=args.num_workers, max_batches=args.max_batches)
+             num_workers=args.num_workers, max_batches=args.max_batches,
+             distributed=args.distributed)
 
 
 if __name__ == "__main__":

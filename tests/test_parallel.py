@@ -204,3 +204,39 @@ class TestDriverDryrun:
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         from __graft_entry__ import _dryrun_subprocess
         _dryrun_subprocess(8)
+
+
+class TestShardedEval:
+    def test_8device_eval_matches_single_device(self):
+        """SURVEY §2.2 'on-device eval collectives': AP/confusion accumulated
+        over a data-sharded batch must equal the single-device result."""
+        from intentbev.evaluate import make_eval_step
+        from intentbev.parallel.sharding import replicated
+
+        cfg = tiny_test_config()
+        model = build_model(cfg)
+        g = cfg.grid
+        lidar0 = jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels))
+        map0 = jnp.zeros((1, g.height_px, g.width_px, g.map_channels))
+        variables = model.init(jax.random.key(0), lidar0, map0)
+        anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
+        batch = _make_batch(cfg, batch=8)
+        sample_valid = np.ones((8,), bool)
+
+        step_1d, init_1d = make_eval_step(model, cfg, anchors)
+        acc_ref, _ = step_1d(variables, batch, sample_valid, init_1d())
+
+        mesh = create_mesh(MeshConfig(model_parallel=1))
+        step_8d, init_8d = make_eval_step(model, cfg, anchors, mesh=mesh)
+        b_shard = batch_sharding(mesh, cfg.mesh)
+        acc, _ = step_8d(
+            jax.device_put(variables, replicated(mesh)),
+            jax.device_put(batch, b_shard),
+            jax.device_put(sample_valid, b_shard),
+            init_8d(),
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc.ap_sum), np.asarray(acc_ref.ap_sum), rtol=1e-5)
+        assert int(acc.num_samples) == int(acc_ref.num_samples) == 8
+        np.testing.assert_array_equal(
+            np.asarray(acc.confusion), np.asarray(acc_ref.confusion))
