@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_bench(batch_size: int, points_per_sweep: int):
+def build_bench(batch_size: int, points_per_sweep: int, int8: bool = False):
     from intentbev.configs import default_vit_config
     from intentbev.boxes.anchors import generate_anchors
     from intentbev.boxes.nms import batched_postprocess
@@ -31,7 +31,9 @@ def build_bench(batch_size: int, points_per_sweep: int):
 
     cfg = default_vit_config()
     on_tpu = jax.default_backend() == "tpu"
-    vit_cfg = dataclasses.replace(cfg.vit, use_flash_attention=on_tpu)
+    vit_cfg = dataclasses.replace(
+        cfg.vit, use_flash_attention=on_tpu, serving_int8=int8
+    )
     model = IntentNetViT(vit_cfg, cfg.heads, dtype=jnp.bfloat16)
     g = cfg.grid
 
@@ -81,9 +83,12 @@ def build_bench(batch_size: int, points_per_sweep: int):
 
 
 def main():
+    import sys
+
+    int8 = "--int8" in sys.argv  # W8A8 serving mode (configs.serving_int8)
     batch_size = 8
     points_per_sweep = 16384
-    infer, args = build_bench(batch_size, points_per_sweep)
+    infer, args = build_bench(batch_size, points_per_sweep, int8=int8)
 
     variables, points, points_valid, map_bev = args
 

@@ -1,17 +1,26 @@
-"""Device-side BEV augmentations under jax.random, GT-consistent.
+"""BEV augmentations, GT-consistent. Two implementations:
 
-Replaces the reference's host cv2 augmentations (utils.py:394-517) with a
-single jitted pipeline: flip -> (rotate + scale as one composed affine
-bilinear warp) -> patch dropout. Runs inside the train step on device, so
-augmentation cost overlaps nothing on the host (the reference's #1
-bottleneck, SURVEY.md §3.2).
+1. **Point-space path (default in the train step)**: geometric parameters
+   (flip / rotate / scale) are drawn per sample on the HOST
+   (:func:`draw_aug_params`); the raw LiDAR points are transformed on
+   device BEFORE voxelization (:func:`augment_points_gt` — a 2x2 matmul on
+   [S, P, 2], ~0.05 ms/batch-8) and the map is RASTERIZED at the augmented
+   pose on the host (rasterize.py ``aug_linear``) — the polygon draw is
+   per-pose anyway, so composing the augmentation is free. Patch dropout
+   stays on device (:func:`patch_dropout`). This replaces a measured
+   ~138 ms/step of 299-channel bilinear image gathers with ~0 device cost,
+   and is geometrically EXACT where the reference's post-voxelization
+   image warp (utils.py:394-517) smears cells bilinearly and zero-fills
+   content rotating in from outside the grid.
+
+2. **Image-space path** (:func:`augment_bev`): the faithful equivalent of
+   the reference's cv2 warps for callers that only have a voxelized BEV.
 
 Deliberate fixes vs the reference (SURVEY.md §2 'decide deliberately'):
-- rotation and scaling warp the image about the EGO pixel origin (row 300,
-  col 360), the same point about which the GT boxes are transformed — the
-  reference rotates the image about the image centre while rotating GT
-  about the ego origin (utils.py:425-447), leaving image and boxes
-  inconsistent by up to ~20 px. Same for scale.
+- rotation and scaling transform about the EGO origin, the same point
+  about which the GT boxes are transformed — the reference rotates the
+  image about the image centre while rotating GT about the ego origin
+  (utils.py:425-447), leaving image and boxes inconsistent by up to ~20 px.
 Everything else (probabilities, ranges, label swaps, dropout geometry)
 matches the reference exactly.
 """
@@ -82,6 +91,111 @@ def _bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> 
         + v10 * dr * (1 - dc)
         + v11 * dr * dc
     )
+
+
+# ---------------------------------------------------------------------------
+# point-space path: host-drawn params, device point/GT transform
+# ---------------------------------------------------------------------------
+
+def draw_aug_params(cfg: AugmentConfig, rng: "_np.random.Generator", n: int) -> "_np.ndarray":
+    """Host-side per-sample draw of (flip_sign, theta_rad, scale), f32[n, 3].
+
+    Same distributions as the reference (utils.py:394-480): flip with
+    flip_prob; rotation angle uniform over rotate_range_deg with
+    rotate_prob; scale uniform over scale_range with scale_prob. Identity
+    rows are (1, 0, 1).
+    """
+    flip = _np.where(rng.random(n) < cfg.flip_prob, -1.0, 1.0)
+    theta = _np.deg2rad(
+        rng.uniform(cfg.rotate_range_deg[0], cfg.rotate_range_deg[1], n)
+    ) * (rng.random(n) < cfg.rotate_prob)
+    scale = _np.where(
+        rng.random(n) < cfg.scale_prob,
+        rng.uniform(cfg.scale_range[0], cfg.scale_range[1], n),
+        1.0,
+    )
+    return _np.stack([flip, theta, scale], axis=1).astype(_np.float32)
+
+
+IDENTITY_AUG = _np.array([1.0, 0.0, 1.0], dtype=_np.float32)
+
+
+def aug_linear_matrix(params_row) -> "_np.ndarray":
+    """2x2 content transform A = scale * R(theta) * diag(1, flip_sign) in
+    ego-metric (x fwd, y left) coordinates; host rasterizers compose it
+    into the world->ego transform so the map is DRAWN at the augmented
+    pose instead of image-warped after the fact."""
+    fs, theta, s = (float(v) for v in params_row)
+    c, si = _np.cos(theta), _np.sin(theta)
+    rot = _np.array([[c, -si], [si, c]], dtype=_np.float64)
+    return s * rot @ _np.array([[1.0, 0.0], [0.0, fs]], dtype=_np.float64)
+
+
+def augment_points_gt(
+    points: jnp.ndarray,      # f32[S, P, 4]
+    gt_boxes: jnp.ndarray,    # f32[G, 5]
+    gt_intentions: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    aug_params: jnp.ndarray,  # f32[3] = (flip_sign, theta, scale)
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Apply (flip -> rotate -> scale) to raw points + GT, pre-voxelization.
+
+    Exactly the transform :func:`aug_linear_matrix` applies to the map:
+    p' = s * R(theta) * diag(1, flip_sign) * p. Points leaving the grid are
+    dropped by the voxelizer's bounds mask; points rotating IN are real
+    content (the image warp zero-fills there). GT math matches
+    :func:`augment_bev` (utils.py:406-414, 441-448, 478-479).
+    """
+    fs, theta, s = aug_params[0], aug_params[1], aug_params[2]
+    do_flip = fs < 0
+
+    x, y = points[..., 0], points[..., 1] * fs
+    ca, sa = jnp.cos(theta), jnp.sin(theta)
+    x, y = s * (x * ca - y * sa), s * (x * sa + y * ca)
+    points = jnp.stack([x, y, points[..., 2], points[..., 3]], axis=-1)
+
+    boxes = gt_boxes
+    flipped = boxes.at[:, 1].multiply(-1.0).at[:, 4].multiply(-1.0)
+    boxes = jnp.where(do_flip, flipped, boxes)
+    flip_table = jnp.asarray(_FLIP_INTENT_TABLE_NP)
+    intents = jnp.where(
+        do_flip, flip_table[jnp.maximum(gt_intentions, 0)], gt_intentions
+    )
+    cx, cy = boxes[:, 0], boxes[:, 1]
+    boxes = boxes.at[:, 0].set(cx * ca - cy * sa).at[:, 1].set(cx * sa + cy * ca)
+    boxes = boxes.at[:, 4].add(theta)
+    boxes = boxes.at[:, :4].multiply(s)
+    boxes = boxes.at[:, 4].set(jnp.arctan2(jnp.sin(boxes[:, 4]), jnp.cos(boxes[:, 4])))
+
+    boxes = jnp.where(gt_valid[:, None], boxes, gt_boxes)
+    intents = jnp.where(gt_valid, intents, gt_intentions)
+    return points, boxes, intents.astype(jnp.int32)
+
+
+def dropout_keep_mask(rng: jax.Array, cfg: AugmentConfig, h: int, w: int) -> jnp.ndarray:
+    """bool[h, w] patch-dropout keep mask (utils.py:482-498)."""
+    kd = jax.random.split(rng, 2 + 5 * 4)
+    do_drop = jax.random.bernoulli(kd[0], float(cfg.dropout_prob))
+    max_patches = cfg.dropout_num_patches[1]
+    num_patches = jax.random.randint(
+        kd[1], (), cfg.dropout_num_patches[0], max_patches + 1
+    )
+    keep = jnp.ones((h, w), dtype=bool)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    lo, hi = cfg.dropout_patch_px
+    for j in range(max_patches):
+        kj = kd[2 + j * 4 : 2 + (j + 1) * 4]
+        ph = jax.random.randint(kj[0], (), lo, hi + 1)
+        pw = jax.random.randint(kj[1], (), lo, hi + 1)
+        r0 = jax.random.randint(kj[2], (), 0, jnp.maximum(1, h - ph + 1))
+        c0 = jax.random.randint(kj[3], (), 0, jnp.maximum(1, w - pw + 1))
+        in_patch = (
+            (rows_i >= r0) & (rows_i < r0 + ph) & (cols_i >= c0) & (cols_i < c0 + pw)
+        )
+        active = do_drop & (j < num_patches)
+        keep = keep & ~(in_patch & active)
+    return keep
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "grid"))
@@ -163,28 +277,7 @@ def augment_bev(
     boxes = boxes.at[:, 4].set(jnp.arctan2(jnp.sin(boxes[:, 4]), jnp.cos(boxes[:, 4])))
 
     # ---- patch dropout (utils.py:482-498)
-    kd = jax.random.split(k_drop, 2 + 5 * 4)
-    do_drop = jax.random.bernoulli(kd[0], float(cfg.dropout_prob))
-    max_patches = cfg.dropout_num_patches[1]
-    num_patches = jax.random.randint(
-        kd[1], (), cfg.dropout_num_patches[0], max_patches + 1
-    )
-    keep = jnp.ones((h, w), dtype=bool)
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    lo, hi = cfg.dropout_patch_px
-    for j in range(max_patches):
-        kj = kd[2 + j * 4 : 2 + (j + 1) * 4]
-        ph = jax.random.randint(kj[0], (), lo, hi + 1)
-        pw = jax.random.randint(kj[1], (), lo, hi + 1)
-        r0 = jax.random.randint(kj[2], (), 0, jnp.maximum(1, h - ph + 1))
-        c0 = jax.random.randint(kj[3], (), 0, jnp.maximum(1, w - pw + 1))
-        in_patch = (
-            (rows_i >= r0) & (rows_i < r0 + ph) & (cols_i >= c0) & (cols_i < c0 + pw)
-        )
-        active = do_drop & (j < num_patches)
-        keep = keep & ~(in_patch & active)
-
+    keep = dropout_keep_mask(k_drop, cfg, h, w)
     keep_f = keep[..., None].astype(lidar_bev.dtype)
     lidar_bev = lidar_bev * keep_f
     map_bev = map_bev * keep_f

@@ -95,9 +95,15 @@ def build_city_raster(
 
 
 def warp_city_to_ego(
-    city: CityRaster, ego_pose, grid: GridConfig, binary_threshold: float = 0.5
+    city: CityRaster, ego_pose, grid: GridConfig, binary_threshold: float = 0.5,
+    aug_linear: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Ego-centric f32[H, W, 9] raster via one bilinear resample (host)."""
+    """Ego-centric f32[H, W, 9] raster via one bilinear resample (host).
+
+    ``aug_linear``: optional 2x2 ego-metric content transform (see
+    bev.augment.aug_linear_matrix); the inverse is applied to the sample
+    coordinates, matching rasterize_map_ego_centric's composed transform.
+    """
     tx = float(ego_pose["tx_m"])
     ty = float(ego_pose["ty_m"])
     yaw = float(quat_to_yaw(ego_pose["qx"], ego_pose["qy"], ego_pose["qz"], ego_pose["qw"]))
@@ -108,6 +114,12 @@ def warp_city_to_ego(
     # so sample at integer pixel centres)
     x_ego = (grid.pixel_offset_y - rows) * grid.voxel_size_m
     y_ego = (cols - grid.pixel_offset_x) * grid.voxel_size_m
+    if aug_linear is not None:
+        inv = np.linalg.inv(np.asarray(aug_linear, dtype=np.float64))
+        x_ego, y_ego = (
+            inv[0, 0] * x_ego + inv[0, 1] * y_ego,
+            inv[1, 0] * x_ego + inv[1, 1] * y_ego,
+        )
     # ego -> world
     c, s = np.cos(yaw), np.sin(yaw)
     x_w = c * x_ego - s * y_ego + tx

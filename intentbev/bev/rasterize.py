@@ -173,12 +173,20 @@ def rasterize_map_ego_centric(
     elements: MapElements,
     ego_pose,
     grid: GridConfig,
+    aug_linear: np.ndarray | None = None,
 ) -> np.ndarray:
     """9-channel ego-centric map raster, f32[H, W, 9] (channels-last).
 
     ``ego_pose`` is anything exposing tx_m, ty_m, qx..qw (pandas Series or
     dict). Mirrors reference utils.py:108-182 including the in-bounds point
     filtering *before* polygon construction.
+
+    ``aug_linear``: optional 2x2 ego-metric content transform (see
+    bev.augment.aug_linear_matrix) composed into the world->ego transform —
+    training augmentation DRAWS the map at the flipped/rotated/scaled pose
+    instead of bilinearly warping the finished raster (exact geometry,
+    zero device cost; replaces the reference's cv2.warpAffine of the
+    raster, utils.py:417-480).
     """
     h, w = grid.height_px, grid.width_px
     out = np.zeros((grid.map_channels, h, w), dtype=np.uint8)
@@ -189,6 +197,10 @@ def rasterize_map_ego_centric(
         quat_to_yaw(ego_pose["qx"], ego_pose["qy"], ego_pose["qz"], ego_pose["qw"])
     )
     ego_tf = ego_centric_transform_matrix(np.array([tx, ty]), yaw)
+    if aug_linear is not None:
+        aug_h = np.eye(3)
+        aug_h[:2, :2] = aug_linear
+        ego_tf = aug_h @ ego_tf
 
     for lane in elements.lanes:
         left_px = _world_to_pixels(lane.left_boundary, ego_tf, grid)

@@ -299,7 +299,15 @@ class ArgoverseSampleLoader:
         return entry
 
     # -- sample production -------------------------------------------------
-    def load(self, seq: SequenceInfo) -> Sample | None:
+    def load(self, seq: SequenceInfo, aug_linear=None) -> Sample | None:
+        """``aug_linear``: optional 2x2 ego-metric augmentation transform
+        (bev.augment.aug_linear_matrix); the map is rasterized at the
+        augmented pose so training needs no device-side image warp. The
+        POINTS are returned untransformed — the device applies the same
+        transform pre-voxelization (bev.augment.augment_points_gt)."""
+        return self._load(seq, aug_linear)
+
+    def _load(self, seq: SequenceInfo, aug_linear=None) -> Sample | None:
         import pandas as pd
         import pyarrow
 
@@ -367,13 +375,13 @@ class ArgoverseSampleLoader:
         if not any_sweep:
             return None
 
-        map_bev = self._rasterize_cached(log_data, pose)
+        map_bev = self._rasterize_cached(log_data, pose, aug_linear)
         gt_boxes, gt_intents, gt_valid = prepare_gt_for_frame(
             seq.current_ts_ns, log_data["gt_df"], self.max_gt
         )
         return Sample(packed, packed_valid, map_bev, gt_boxes, gt_intents, gt_valid)
 
-    def _rasterize_cached(self, log_data: dict, pose) -> np.ndarray:
+    def _rasterize_cached(self, log_data: dict, pose, aug_linear=None) -> np.ndarray:
         if self.use_city_raster_cache:
             from ..bev.city_raster import build_city_raster, warp_city_to_ego
 
@@ -386,10 +394,13 @@ class ArgoverseSampleLoader:
                 {"tx_m": pose.tx_m, "ty_m": pose.ty_m, "qx": pose.qx,
                  "qy": pose.qy, "qz": pose.qz, "qw": pose.qw},
                 self.grid,
+                aug_linear=aug_linear,
             )
         cache = log_data["map_raster_cache"]
         key = (round(float(pose.tx_m), 2), round(float(pose.ty_m), 2),
-               round(float(quat_to_yaw(pose.qx, pose.qy, pose.qz, pose.qw)), 3))
+               round(float(quat_to_yaw(pose.qx, pose.qy, pose.qz, pose.qw)), 3),
+               None if aug_linear is None
+               else tuple(np.round(np.asarray(aug_linear), 5).ravel()))
         if key not in cache:
             if len(cache) > 64:
                 cache.clear()
@@ -398,5 +409,6 @@ class ArgoverseSampleLoader:
                 {"tx_m": pose.tx_m, "ty_m": pose.ty_m, "qx": pose.qx,
                  "qy": pose.qy, "qz": pose.qz, "qw": pose.qw},
                 self.grid,
+                aug_linear=aug_linear,
             )
         return cache[key]

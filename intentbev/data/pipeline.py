@@ -33,9 +33,10 @@ class Batch(NamedTuple):
     gt_boxes: np.ndarray      # f32[B, G, 5]
     gt_intentions: np.ndarray  # i32[B, G]
     gt_valid: np.ndarray      # bool[B, G]
+    aug_params: np.ndarray    # f32[B, 3] = (flip_sign, theta, scale); identity (1,0,1) when not augmenting
 
 
-def _stack(samples: Sequence[Sample]) -> Batch:
+def _stack(samples: Sequence[Sample], aug: Sequence[np.ndarray]) -> Batch:
     return Batch(
         points=np.stack([s.points for s in samples]),
         points_valid=np.stack([s.points_valid for s in samples]),
@@ -43,6 +44,7 @@ def _stack(samples: Sequence[Sample]) -> Batch:
         gt_boxes=np.stack([s.gt_boxes for s in samples]),
         gt_intentions=np.stack([s.gt_intentions for s in samples]),
         gt_valid=np.stack([s.gt_valid for s in samples]),
+        aug_params=np.stack(aug).astype(np.float32),
     )
 
 
@@ -54,46 +56,72 @@ def batch_iterator(
     seed: int = 0,
     num_workers: int = 4,
     drop_last: bool = False,
+    augment=None,
 ) -> Iterator[Batch]:
     """Yield fixed-shape batches; failed samples are dropped (so a batch can
-    be smaller than ``batch_size``, like the reference's collate_fn)."""
+    be smaller than ``batch_size``, like the reference's collate_fn).
+
+    ``augment``: optional AugmentConfig — draws per-sample geometric
+    parameters (flip/rotate/scale) host-side, rasterizes the map at the
+    augmented pose inside ``loader.load``, and ships the params in
+    ``Batch.aug_params`` so the device applies the SAME transform to the
+    raw points pre-voxelization (bev.augment). Seeded by ``seed``:
+    deterministic per epoch.
+    """
+    from ..bev.augment import IDENTITY_AUG, aug_linear_matrix, draw_aug_params
+
     order = np.arange(len(sequences))
+    rng = np.random.default_rng(seed)
     if shuffle:
-        np.random.default_rng(seed).shuffle(order)
+        rng.shuffle(order)
+    if augment is not None:
+        params = draw_aug_params(augment, rng, len(order))
+        linears = [aug_linear_matrix(p) for p in params]
+    else:
+        params = np.tile(IDENTITY_AUG, (len(order), 1))
+        linears = [None] * len(order)
 
     if num_workers <= 1:
         pending: list[Sample] = []
-        for idx in order:
-            s = loader.load(sequences[int(idx)])
+        pending_aug: list[np.ndarray] = []
+        for k, idx in enumerate(order):
+            s = loader.load(sequences[int(idx)], aug_linear=linears[k])
             if s is not None:
                 pending.append(s)
+                pending_aug.append(params[k])
             if len(pending) == batch_size:
-                yield _stack(pending)
-                pending = []
+                yield _stack(pending, pending_aug)
+                pending, pending_aug = [], []
         if pending and not drop_last:
-            yield _stack(pending)
+            yield _stack(pending, pending_aug)
         return
 
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         window = num_workers * 2
-        futures = [pool.submit(loader.load, sequences[int(i)]) for i in order[:window]]
+        futures = [
+            pool.submit(loader.load, sequences[int(order[k])], linears[k])
+            for k in range(min(window, len(order)))
+        ]
         next_submit = window
         pending = []
+        pending_aug = []
         for k in range(len(order)):
             s = futures[k].result()
             futures[k] = None  # release the Sample (10s of MB each) promptly
             if next_submit < len(order):
                 futures.append(
-                    pool.submit(loader.load, sequences[int(order[next_submit])])
+                    pool.submit(loader.load, sequences[int(order[next_submit])],
+                                linears[next_submit])
                 )
                 next_submit += 1
             if s is not None:
                 pending.append(s)
+                pending_aug.append(params[k])
             if len(pending) == batch_size:
-                yield _stack(pending)
-                pending = []
+                yield _stack(pending, pending_aug)
+                pending, pending_aug = [], []
         if pending and not drop_last:
-            yield _stack(pending)
+            yield _stack(pending, pending_aug)
 
 
 def pad_batch(batch: Batch, batch_size: int) -> tuple[Batch, np.ndarray]:

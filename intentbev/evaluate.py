@@ -123,6 +123,7 @@ def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray,
         batch_shardings = {
             "points": b_shard, "points_valid": b_shard, "map_bev": b_shard,
             "gt_boxes": b_shard, "gt_intentions": b_shard, "gt_valid": b_shard,
+            "aug_params": b_shard,  # identity at eval; carried by Batch
         }
         accum_shardings = EvalAccum(ap_sum=rep, num_samples=rep, confusion=rep)
         # variables keep the (replicated) sharding the caller device_put them

@@ -112,6 +112,7 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     fused: bool = False
+    int8_serving: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,6 +124,20 @@ class Mlp(nn.Module):
     ) -> jnp.ndarray:
         """``gate``: per-sample-ish stochastic-depth factor broadcastable to
         x.shape[:-1]; folded into the fused kernel's epilogue."""
+        if self.int8_serving:
+            from ..ops.int8 import int8_dense
+
+            d = x.shape[-1]
+            w1, b1 = _LinearParams(d, self.hidden_dim, name="fc1")()
+            w2, b2 = _LinearParams(self.hidden_dim, self.out_dim, name="fc2")()
+            y = int8_dense(x, w1, b1, out_dtype=jnp.float32)
+            y = nn.gelu(y, approximate=False)
+            y = int8_dense(y, w2, b2, out_dtype=self.dtype)
+            if gate is not None:
+                y = y * gate[..., None].astype(y.dtype)
+            if residual is not None:
+                y = y + residual
+            return y
         use_fused = (
             self.fused and residual is not None
             and jax.default_backend() == "tpu"
@@ -152,6 +167,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     use_flash: bool = True
     kv_len: int | None = None  # real token count when x is tail-padded
+    int8_serving: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -166,6 +182,35 @@ class Attention(nn.Module):
         residual — removing one full activation read+write per block."""
         b, t, d = x.shape
         head_dim = d // self.num_heads
+        if self.int8_serving:
+            # W8A8 serving: qkv/proj matmuls on the int8 MXU (2x bf16 peak,
+            # ops.int8) and the int8 flash kernel for the scores/values.
+            from ..ops.flash_int8 import flash_attention_packed_int8
+            from ..ops.int8 import int8_dense
+
+            wq, bq = _LinearParams(d, 3 * d, name="qkv")()
+            qkv = int8_dense(x, wq, bq if self.qkv_bias else None,
+                             out_dtype=self.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if jax.default_backend() == "tpu":
+                out = flash_attention_packed_int8(
+                    q, k, v, self.num_heads, seq_len=self.kv_len
+                )
+            else:  # CPU/debug: int8 dense layers, float attention
+                out = multi_head_attention(
+                    jnp.transpose(q.reshape(b, t, self.num_heads, head_dim), (0, 2, 1, 3)),
+                    jnp.transpose(k.reshape(b, t, self.num_heads, head_dim), (0, 2, 1, 3)),
+                    jnp.transpose(v.reshape(b, t, self.num_heads, head_dim), (0, 2, 1, 3)),
+                    use_flash=False, kv_len=self.kv_len,
+                )
+                out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
+            wp, bp = _LinearParams(d, d, name="proj")()
+            y = int8_dense(out, wp, bp, out_dtype=self.dtype)
+            if gate is not None:
+                y = y * gate[..., None].astype(y.dtype)
+            if residual is not None:
+                y = y + residual
+            return y
         qkv = nn.Dense(
             3 * d, use_bias=self.qkv_bias, kernel_init=_dense_init,
             dtype=self.dtype, name="qkv",
@@ -211,6 +256,7 @@ class EncoderBlock(nn.Module):
     kv_len: int | None = None
     fused_ln: bool = True
     fused_mlp: bool = True
+    int8_serving: bool = False
     dtype: Any = jnp.float32
 
     def _drop_path_gate(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -231,6 +277,7 @@ class EncoderBlock(nn.Module):
         x = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             use_flash=self.use_flash, kv_len=self.kv_len,
+            int8_serving=self.int8_serving,
             dtype=self.dtype, name="attn",
         )(
             h.astype(self.dtype),
@@ -240,7 +287,8 @@ class EncoderBlock(nn.Module):
         h = norm_cls(dtype=self.dtype, name="norm2")(x)
         mlp = Mlp(
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
-            fused=self.fused_mlp, dtype=self.dtype, name="mlp",
+            fused=self.fused_mlp, int8_serving=self.int8_serving,
+            dtype=self.dtype, name="mlp",
         )
         x = mlp(
             h.astype(self.dtype), residual=x,
@@ -316,6 +364,7 @@ class ViTEncoder(nn.Module):
                 kv_len=real_len if t_run != real_len else None,
                 fused_ln=cfg.use_fused_layernorm,
                 fused_mlp=cfg.use_fused_mlp,
+                int8_serving=cfg.serving_int8,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, deterministic)

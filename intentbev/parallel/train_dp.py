@@ -18,11 +18,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..bev.augment import batched_augment_bev
-from ..bev.voxelize import voxelize_packed
 from ..configs import ExperimentConfig
 from ..losses import detection_intention_loss
-from ..train import TrainState
+from ..train import TrainState, _augmented_inputs
 from .sharding import batch_sharding, param_shardings, replicated
 
 
@@ -62,12 +60,8 @@ def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh,
         rng_aug, rng_loss, rng_drop = jax.random.split(rng, 3)
 
         compute_dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-        lidar = jax.vmap(
-            lambda p, v: voxelize_packed(p, v, grid, out_dtype=compute_dtype)
-        )(batch["points"], batch["points_valid"])
-        aug = batched_augment_bev(
-            lidar, batch["map_bev"], batch["gt_boxes"], batch["gt_intentions"],
-            batch["gt_valid"], rng_aug, aug_cfg, grid,
+        lidar, map_bev, gt_boxes, gt_intents = _augmented_inputs(
+            batch, rng_aug, aug_cfg, grid, compute_dtype
         )
 
         def loss_fn(params):
@@ -77,13 +71,13 @@ def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh,
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
             out = model.apply(
-                variables, aug.lidar_bev, aug.map_bev, train=True,
+                variables, lidar, map_bev, train=True,
                 mutable=mutable, rngs={"dropout": rng_drop},
             )
             (cls_l, box_d, int_l), upd = out if mutable else (out, {})
             loss_out = detection_intention_loss(
                 cls_l, box_d, int_l, anchors,
-                aug.gt_boxes, aug.gt_intentions, batch["gt_valid"],
+                gt_boxes, gt_intents, batch["gt_valid"],
                 loss_cfg, rng_loss,
                 intention_class_weights=intention_weights,
             )
@@ -105,6 +99,7 @@ def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh,
     batch_shardings = {
         "points": b_shard, "points_valid": b_shard, "map_bev": b_shard,
         "gt_boxes": b_shard, "gt_intentions": b_shard, "gt_valid": b_shard,
+        "aug_params": b_shard,
     }
 
     def state_shardings(state: TrainState) -> TrainState:

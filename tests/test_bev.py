@@ -234,3 +234,98 @@ class TestAugment:
         zero_mask_m = (mo == 0).all(axis=-1)
         assert zero_mask_l.sum() >= 20 * 20  # at least one patch
         np.testing.assert_array_equal(zero_mask_l & zero_mask_m, zero_mask_l)
+
+
+class TestPointSpaceAugment:
+    """The host-params + device-point path (bev.augment draw_aug_params /
+    augment_points_gt / aug_linear_matrix) that replaces the 299-channel
+    image warp in the train step."""
+
+    def test_gt_math_matches_image_path(self, rng):
+        """For any (flip, theta, scale), augment_points_gt's GT transform
+        must equal augment_bev's (same reference math, utils.py:406-479)."""
+        from intentbev.bev.augment import augment_points_gt
+
+        grid = SMALL_GRID
+        boxes = jnp.asarray(
+            np.array([[2.0, 1.5, 2.0, 4.0, 0.3], [-1.0, 0.5, 1.5, 3.0, -0.7]],
+                     np.float32))
+        intents = jnp.asarray(np.array([INTENTIONS_MAP["TURN_LEFT"],
+                                        INTENTIONS_MAP["KEEP_LANE"]], np.int32))
+        valid = jnp.asarray(np.array([True, True]))
+        pts = jnp.asarray(rng.normal(0, 3, (2, 16, 4)).astype(np.float32))
+
+        for fs, theta, s in [(-1.0, 0.4, 1.03), (1.0, -0.25, 0.97), (-1.0, 0.0, 1.0)]:
+            params = jnp.asarray(np.array([fs, theta, s], np.float32))
+            _, got_boxes, got_intents = augment_points_gt(pts, boxes, intents, valid, params)
+
+            # image-path oracle with forced probabilities
+            cfg = AugmentConfig(
+                flip_prob=1.0 if fs < 0 else 0.0,
+                rotate_prob=1.0, rotate_range_deg=(np.rad2deg(theta), np.rad2deg(theta)),
+                scale_prob=1.0, scale_range=(s, s), dropout_prob=0.0,
+            )
+            cl = grid.lidar_total_channels
+            l = jnp.zeros((grid.height_px, grid.width_px, cl))
+            m = jnp.zeros((grid.height_px, grid.width_px, grid.map_channels))
+            ref = augment_bev(l, m, boxes, intents, valid, jax.random.key(0), cfg, grid)
+            np.testing.assert_allclose(
+                np.asarray(got_boxes), np.asarray(ref.gt_boxes), atol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(got_intents), np.asarray(ref.gt_intentions))
+
+    def test_points_move_with_gt(self):
+        """A point at the GT centre must land at the transformed GT centre."""
+        from intentbev.bev.augment import augment_points_gt
+
+        pts = jnp.asarray(np.array([[[2.0, 1.5, 0.5, 10.0]]], np.float32))
+        boxes = jnp.asarray(np.array([[2.0, 1.5, 2.0, 4.0, 0.3]], np.float32))
+        intents = jnp.zeros((1,), jnp.int32)
+        valid = jnp.ones((1,), bool)
+        params = jnp.asarray(np.array([-1.0, 0.35, 1.04], np.float32))
+        new_pts, new_boxes, _ = augment_points_gt(pts, boxes, intents, valid, params)
+        np.testing.assert_allclose(
+            np.asarray(new_pts)[0, 0, :2], np.asarray(new_boxes)[0, :2], atol=1e-5)
+        # z / intensity untouched
+        np.testing.assert_allclose(np.asarray(new_pts)[0, 0, 2:], [0.5, 10.0])
+
+    def test_raster_aug_linear_equals_rotated_pose(self):
+        """Rasterizing with aug_linear=R(theta) must equal rasterizing at a
+        pose whose yaw is (yaw - theta): the compose is exact, not a warp."""
+        from intentbev.bev.augment import aug_linear_matrix
+        from intentbev.bev.rasterize import MapElements, LaneSegment, rasterize_map_ego_centric
+
+        grid = SMALL_GRID
+        lane = LaneSegment(
+            left_boundary=np.array([[0.0, -2.0], [20.0, -2.0]]),
+            right_boundary=np.array([[0.0, 2.0], [20.0, 2.0]]),
+            is_intersection=False, lane_type="VEHICLE",
+            left_mark_type="NONE", right_mark_type="NONE",
+        )
+        elements = MapElements(lanes=[lane], crosswalks=[])
+        theta = 0.3
+        # pose with yaw=0
+        pose0 = {"tx_m": 0.0, "ty_m": 0.0, "qx": 0.0, "qy": 0.0, "qz": 0.0, "qw": 1.0}
+        aug = aug_linear_matrix(np.array([1.0, theta, 1.0], np.float32))
+        got = rasterize_map_ego_centric(elements, pose0, grid, aug_linear=aug)
+        # pose rotated by -theta: qz = sin(-theta/2), qw = cos(-theta/2)
+        pose_r = {"tx_m": 0.0, "ty_m": 0.0, "qx": 0.0, "qy": 0.0,
+                  "qz": np.sin(-theta / 2), "qw": np.cos(-theta / 2)}
+        want = rasterize_map_ego_centric(elements, pose_r, grid)
+        np.testing.assert_array_equal(got, want)
+
+    def test_draw_params_distributions(self):
+        from intentbev.bev.augment import draw_aug_params
+
+        cfg = AugmentConfig(flip_prob=0.5, rotate_prob=0.5,
+                            rotate_range_deg=(-15, 15),
+                            scale_prob=0.5, scale_range=(0.95, 1.05))
+        p = draw_aug_params(cfg, np.random.default_rng(0), 4000)
+        assert p.shape == (4000, 3)
+        assert set(np.unique(p[:, 0])) == {-1.0, 1.0}
+        assert 0.4 < (p[:, 0] < 0).mean() < 0.6
+        assert np.abs(p[:, 1]).max() <= np.deg2rad(15) + 1e-6
+        assert 0.4 < (p[:, 1] != 0).mean() < 0.6
+        assert p[:, 2].min() >= 0.95 - 1e-6 and p[:, 2].max() <= 1.05 + 1e-6
+        id_rows = (p[:, 0] == 1) & (p[:, 1] == 0) & (p[:, 2] == 1)
+        assert id_rows.mean() > 0.05  # identity rows exist

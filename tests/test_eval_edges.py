@@ -52,6 +52,7 @@ class TestPadBatch:
             gt_boxes=np.ones((b, 3, 5), np.float32),
             gt_intentions=np.ones((b, 3), np.int32),
             gt_valid=np.ones((b, 3), bool),
+            aug_params=np.tile(np.array([[1.0, 0.0, 1.0]], np.float32), (b, 1)),
         )
 
     def test_pads_to_size(self):

@@ -47,6 +47,7 @@ def _make_batch(cfg, batch=8, seed=0):
         "gt_boxes": gtb,
         "gt_intentions": np.zeros((batch, G), np.int32),
         "gt_valid": gtv,
+        "aug_params": np.tile(np.array([[1.0, 0.0, 1.0]], np.float32), (batch, 1)),
     }
 
 
