@@ -39,7 +39,9 @@ def build_bench(batch_size: int, points_per_sweep: int, int8: bool = False):
 
     lidar0 = jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels), jnp.float32)
     map0 = jnp.zeros((1, g.height_px, g.width_px, g.map_channels), jnp.float32)
-    variables = model.init(jax.random.key(0), lidar0, map0)
+    # jit the init: eager init dispatches every op separately, which is
+    # minutes of round-trips on a tunneled/remote device backend
+    variables = jax.jit(model.init)(jax.random.key(0), lidar0, map0)
 
     anchors = jnp.asarray(generate_anchors(g, cfg.anchors))
     ev = cfg.eval

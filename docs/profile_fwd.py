@@ -24,7 +24,7 @@ def capture(out_dir: str, steps: int = 6):
     sys.path.insert(0, ".")
     from bench import build_bench
 
-    infer, args = build_bench(batch_size=8, points_per_sweep=16384)
+    infer, args = build_bench(batch_size=8, points_per_sweep=16384, int8="--int8" in sys.argv)
     variables, points, points_valid, map_bev = args
 
     out = infer(variables, points, points_valid, map_bev)
@@ -67,6 +67,6 @@ def summarise(out_dir: str, steps: int, top: int = 25):
 
 
 if __name__ == "__main__":
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof_fwd"
+    out_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/tmp/prof_fwd"
     n = capture(out_dir)
     summarise(out_dir, n)

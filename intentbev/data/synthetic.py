@@ -37,6 +37,37 @@ def _pose_row(ts, x, y, yaw):
     }
 
 
+def _integrate_track(v: dict, num_frames: int) -> np.ndarray:
+    """[num_frames, 3] (x, y, yaw) world-frame track for one vehicle spec.
+
+    Straight tracks (no ``yaw_rate``/``accel``) reproduce the legacy
+    constant-velocity motion exactly; otherwise speed and heading integrate
+    at 10 Hz so turning vehicles curve and decelerating ones stop.
+    """
+    dt = 0.1
+    x, y = float(v["start"][0]), float(v["start"][1])
+    yaw = float(v.get("yaw", 0.0))
+    yaw_rate = float(v.get("yaw_rate", 0.0))
+    accel = float(v.get("accel", 0.0))
+    vel = v.get("velocity", (0.0, 0.0))
+    if yaw_rate == 0.0 and accel == 0.0:
+        t = np.arange(num_frames) * dt
+        return np.stack(
+            [x + vel[0] * t, y + vel[1] * t, np.full(num_frames, yaw)], axis=1
+        )
+    speed = float(np.hypot(vel[0], vel[1]))
+    out = np.empty((num_frames, 3))
+    for i in range(num_frames):
+        out[i] = (x, y, yaw)
+        x += speed * np.cos(yaw) * dt
+        y += speed * np.sin(yaw) * dt
+        # heading only turns while moving; speed floors at zero
+        if speed > 1e-3:
+            yaw += yaw_rate * dt
+        speed = max(0.0, speed + accel * dt)
+    return out
+
+
 def write_synthetic_log(
     root: str | Path,
     log_id: str | None = None,
@@ -49,8 +80,11 @@ def write_synthetic_log(
     """Create one synthetic log; returns its directory.
 
     ``vehicles``: list of dicts with keys ``start`` (xy), ``velocity`` (xy),
-    ``yaw``, ``category`` — straight-moving tracks. Defaults to two cars:
-    one keeping lane ahead of ego, one parked to the side.
+    ``yaw``, ``category``, plus optional curved/decelerating motion:
+    ``yaw_rate`` (rad/s; the track integrates heading so turning vehicles
+    actually curve) and ``accel`` (m/s^2 along heading, clamped at 0 speed;
+    gives STOPPING tracks). Defaults to two cars: one keeping lane ahead of
+    ego, one parked to the side.
     """
     import pandas as pd
 
@@ -78,17 +112,14 @@ def write_synthetic_log(
             {"start": (10.0, 6.0), "velocity": (0.0, 0.0), "yaw": 0.0,
              "category": "REGULAR_VEHICLE"},
         ]
+    trajs = [_integrate_track(v, num_frames) for v in vehicles]
     ann_rows = []
     track_ids = []
-    for v in vehicles:
+    for v, traj in zip(vehicles, trajs):
         tid = uuid.uuid4().hex
         track_ids.append(tid)
         for i, ts in enumerate(timestamps):
-            x = v["start"][0] + v["velocity"][0] * i * 0.1
-            y = v["start"][1] + v["velocity"][1] * i * 0.1
-            yaw = v.get("yaw", 0.0)
-            if "yaw_rate" in v:
-                yaw = v["yaw"] + v["yaw_rate"] * i * 0.1
+            x, y, yaw = traj[i]
             ann_rows.append({
                 "timestamp_ns": int(ts),
                 "track_uuid": tid,
@@ -118,12 +149,18 @@ def write_synthetic_log(
             rng.uniform(-1.9, -1.6, points_per_sweep // 2),
         ], axis=1)
         vpts = []
-        for v in vehicles:
-            vx = v["start"][0] + v["velocity"][0] * i * 0.1 - ex
-            vy = v["start"][1] + v["velocity"][1] * i * 0.1
+        for v, traj in zip(vehicles, trajs):
+            vx, vy, vyaw = traj[i]
+            vx -= ex
+            half_l = v.get("length", 4.5) / 2.0
+            half_w = v.get("width", 2.0) / 2.0
+            # points in the vehicle frame, rotated by the track heading
+            lx = rng.uniform(-half_l, half_l, 120)
+            ly = rng.uniform(-half_w, half_w, 120)
+            c, s = np.cos(vyaw), np.sin(vyaw)
             vpts.append(np.stack([
-                rng.uniform(vx - 2.2, vx + 2.2, 120),
-                rng.uniform(vy - 1.0, vy + 1.0, 120),
+                vx + c * lx - s * ly,
+                vy + s * lx + c * ly,
                 rng.uniform(-1.2, 0.6, 120),
             ], axis=1))
         pts = np.concatenate([ground] + vpts, axis=0).astype(np.float32)

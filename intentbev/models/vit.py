@@ -130,6 +130,13 @@ class Mlp(nn.Module):
             d = x.shape[-1]
             w1, b1 = _LinearParams(d, self.hidden_dim, name="fc1")()
             w2, b2 = _LinearParams(self.hidden_dim, self.out_dim, name="fc2")()
+            if residual is not None and jax.default_backend() == "tpu":
+                # fused W8A8 kernel: the unfused int8 pair re-materialises
+                # the [rows, 4D] hidden in HBM + a separate f32 GELU pass —
+                # measured SLOWER than the fused bf16 kernel it replaces
+                from ..ops.fused_mlp_int8 import fused_mlp_int8
+
+                return fused_mlp_int8(x, w1, b1, w2, b2, residual, gate=gate)
             y = int8_dense(x, w1, b1, out_dtype=jnp.float32)
             y = nn.gelu(y, approximate=False)
             y = int8_dense(y, w2, b2, out_dtype=self.dtype)
@@ -182,35 +189,16 @@ class Attention(nn.Module):
         residual — removing one full activation read+write per block."""
         b, t, d = x.shape
         head_dim = d // self.num_heads
-        if self.int8_serving:
-            # W8A8 serving: qkv/proj matmuls on the int8 MXU (2x bf16 peak,
-            # ops.int8) and the int8 flash kernel for the scores/values.
-            from ..ops.flash_int8 import flash_attention_packed_int8
-            from ..ops.int8 import int8_dense
-
-            wq, bq = _LinearParams(d, 3 * d, name="qkv")()
-            qkv = int8_dense(x, wq, bq if self.qkv_bias else None,
-                             out_dtype=self.dtype)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            if jax.default_backend() == "tpu":
-                out = flash_attention_packed_int8(
-                    q, k, v, self.num_heads, seq_len=self.kv_len
-                )
-            else:  # CPU/debug: int8 dense layers, float attention
-                out = multi_head_attention(
-                    jnp.transpose(q.reshape(b, t, self.num_heads, head_dim), (0, 2, 1, 3)),
-                    jnp.transpose(k.reshape(b, t, self.num_heads, head_dim), (0, 2, 1, 3)),
-                    jnp.transpose(v.reshape(b, t, self.num_heads, head_dim), (0, 2, 1, 3)),
-                    use_flash=False, kv_len=self.kv_len,
-                )
-                out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
-            wp, bp = _LinearParams(d, d, name="proj")()
-            y = int8_dense(out, wp, bp, out_dtype=self.dtype)
-            if gate is not None:
-                y = y * gate[..., None].astype(y.dtype)
-            if residual is not None:
-                y = y + residual
-            return y
+        # NOTE on int8 serving: attention stays ENTIRELY bf16 even under
+        # serving_int8. Measured on v5e (sublayer micro, [8, 4608, 384]):
+        # bf16 4.83 ms, int8 flash kernel 6.06 ms (QK^T is a 64-deep
+        # contraction where the MXU can't reach the 2x int8 rate, and
+        # quantizing Q/K/V + the P tile costs more than the P@V win), and
+        # int8 qkv/proj denses + bf16 flash tie the micro at 4.83 ms but
+        # measured SLOWER end-to-end (51.4 vs 52.2 fps) — the separate
+        # gate/residual adds and act-quant passes lose the XLA matmul
+        # epilogue fusion the bf16 Dense path gets. ops/flash_int8.py keeps
+        # the int8 kernel as the documented negative result.
         qkv = nn.Dense(
             3 * d, use_bias=self.qkv_bias, kernel_init=_dense_init,
             dtype=self.dtype, name="qkv",

@@ -3,17 +3,16 @@
 Same pair-blocked, transpose-free structure as ``flash_packed`` (two D=64
 heads share one 128-lane panel; grid over (batch, head-pairs, row-blocks))
 but with the score and value matmuls on the int8 MXU (394 TOPS on v5e —
-measured 2.02x the bf16 peak on this chip):
+measured 2.02x the bf16 peak on this chip).
 
-- Q and K are quantized symmetrically PER TOKEN ROW per head (scales ride
-  in [B, H, T_pad, 1] tensors, delivered to the kernel exactly like the
-  bf16 kernel's logsumexp); the score tile is
-  ``int32(q8 k8^T) * qscale_row * kscale_col * softmax_scale + key_bias``;
-- V is quantized per (batch, head) — its scale must factor OUT of the
-  P V^T sum, so it cannot be per-row — and enters through SMEM;
-- the probability tile P in (0, 1] is quantized in-kernel with the fixed
-  scale 127 (pq = round(P * 127)) and hits the MXU again for P V^T; the
-  row denominator divides the int32 result in f32.
+Quantization happens IN-KERNEL from the same bf16 panels the bf16 kernel
+consumes — symmetric per-token-row for Q and K, per-panel for V, and the
+probability tile P in (0, 1] with the fixed scale 127. A first version
+quantized Q/K/V outside with XLA ops; that cost ~45 ms/step of separate
+absmax/round/clip fusions, scale transposes, and int8 materialisation —
+more than the MXU win. In-kernel the absmax/round run on the VPU overlapped
+with the MXU and touch only VMEM-resident tiles (the K/V panel re-quantize
+per row-block step is redundant work but costs microseconds).
 
 No VJP — training stays bf16 (quantization noise in gradients is not worth
 it); this is the serving path behind ``ViTBackboneConfig.serving_int8``.
@@ -33,11 +32,18 @@ from .flash_attention import _key_bias, _pad_len
 from .flash_packed import BLOCK_Q_PK, LANE_BLOCK, _COMPILER_PARAMS, _heads_per_block
 
 
-def _fwd_kernel_int8(sv_ref, q_ref, k_ref, v_ref, qs_ref, ks_ref, bias_ref,
-                     o_ref, s_buf, *, heads_in_block: int, scale: float):
-    # refs: sv [1,1,hp] f32 (per-head V scale, SMEM), q [1, BQ, 128] i8,
-    # k/v [1, T_pad, 128] i8, qs [1, hp, BQ, 1] f32, ks [1, hp, T_pad, 1]
-    # f32, bias [1, T_pad] f32, o [1, BQ, 128], s_buf scratch [BQ, T_pad].
+def _quant_rows(x32: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 of an f32 tile: (q, scale[rows, 1])."""
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _fwd_kernel_int8(q_ref, k_ref, v_ref, bias_ref, o_ref, s_buf,
+                     *, heads_in_block: int, scale: float):
+    # refs: q [1, BQ, 128] bf16, k/v [1, T_pad, 128] bf16, bias [1, T_pad]
+    # f32, o [1, BQ, 128], s_buf scratch [BQ, T_pad] f32. Same layout as the
+    # bf16 kernel (flash_packed._fwd_kernel) — this is a drop-in sibling.
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -45,47 +51,28 @@ def _fwd_kernel_int8(sv_ref, q_ref, k_ref, v_ref, qs_ref, ks_ref, bias_ref,
     dh = q.shape[-1] // heads_in_block
     for h in range(heads_in_block):
         sl = slice(h * dh, (h + 1) * dh)
+        qq, qs = _quant_rows(q[:, sl].astype(jnp.float32))
+        kq, ks = _quant_rows(k[:, sl].astype(jnp.float32))
+        vh = v[:, sl].astype(jnp.float32)
+        sv = jnp.maximum(jnp.max(jnp.abs(vh)), 1e-8) / 127.0
+        vq = jnp.clip(jnp.round(vh / sv), -127, 127).astype(jnp.int8)
         s32 = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            qq, kq, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        qs = qs_ref[0, h] * scale            # [BQ, 1]
-        ks = ks_ref[0, h][:, 0][None, :]     # [1, T_pad]
-        s_buf[:] = s32.astype(jnp.float32) * qs * ks + bias
+        s_buf[:] = (
+            s32.astype(jnp.float32) * (qs * scale) * ks[:, 0][None, :] + bias
+        )
         m = jnp.max(s_buf[:], axis=-1, keepdims=True)
         s_buf[:] = jnp.exp(s_buf[:] - m)
         denom = jnp.sum(s_buf[:], axis=-1, keepdims=True)
         pq = jnp.round(s_buf[:] * 127.0).astype(jnp.int8)
         o32 = jax.lax.dot_general(
-            pq, v[:, sl], (((1,), (0,)), ((), ())),
+            pq, vq, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        oh = o32.astype(jnp.float32) * (sv_ref[0, 0, h] / 127.0) / denom
+        oh = o32.astype(jnp.float32) * (sv / 127.0) / denom
         o_ref[0, :, sl] = oh.astype(o_ref.dtype)
-
-
-def _quantize_per_row(x: jnp.ndarray, num_heads: int):
-    """[B, T, H*D] -> (int8 same shape, f32 row scales [B, H, T, 1])."""
-    b, t, dm = x.shape
-    dh = dm // num_heads
-    x4 = x.reshape(b, t, num_heads, dh)
-    absmax = jnp.max(jnp.abs(x4).astype(jnp.float32), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0  # [B, T, H, 1]
-    q = jnp.clip(jnp.round(x4.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    return q.reshape(b, t, dm), jnp.transpose(scale, (0, 2, 1, 3))
-
-
-def _quantize_per_head(x: jnp.ndarray, num_heads: int):
-    """[B, T, H*D] -> (int8 same shape, f32 head scales [B, H])."""
-    b, t, dm = x.shape
-    dh = dm // num_heads
-    x4 = x.reshape(b, t, num_heads, dh)
-    absmax = jnp.max(jnp.abs(x4).astype(jnp.float32), axis=(1, 3))
-    scale = jnp.maximum(absmax, 1e-8) / 127.0  # [B, H]
-    q = jnp.clip(
-        jnp.round(x4.astype(jnp.float32) / scale[:, None, :, None]), -127, 127
-    ).astype(jnp.int8)
-    return q.reshape(b, t, dm), scale
 
 
 def flash_attention_packed_int8(
@@ -102,23 +89,12 @@ def flash_attention_packed_int8(
     real_len = t if seq_len is None else int(seq_len)
     t_pad = _pad_len(t, BLOCK_Q_PK)
 
-    q8, qs = _quantize_per_row(q, num_heads)
-    k8, ks = _quantize_per_row(k, num_heads)
-    v8, sv = _quantize_per_head(v, num_heads)
-    sv = sv.reshape(b, n_pairs, hp)
-
     def prep(x):
         if t_pad != t:
             return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
         return x
 
-    def prep_scale(s):  # [B, H, T, 1]
-        if t_pad != t:
-            return jnp.pad(s, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
-        return s
-
-    q8, k8, v8 = prep(q8), prep(k8), prep(v8)
-    qs, ks = prep_scale(qs), prep_scale(ks)
+    q3, k3, v3 = prep(q), prep(k), prep(v)
     bias = _key_bias(t_pad, real_len)
     nq = t_pad // BLOCK_Q_PK
     o = pl.pallas_call(
@@ -126,17 +102,11 @@ def flash_attention_packed_int8(
         grid=(b, n_pairs, nq),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
-            pl.BlockSpec((1, 1, hp), lambda i, p, j: (i, p, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, BLOCK_Q_PK, LANE_BLOCK), lambda i, p, j: (i, j, p),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, BLOCK_Q_PK, 1), lambda i, p, j: (i, p, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, t_pad, 1), lambda i, p, j: (i, p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -152,5 +122,5 @@ def flash_attention_packed_int8(
             bytes_accessed=b * t_pad * dm * 3,
             transcendentals=b * t_pad * t_pad * num_heads,
         ),
-    )(sv, q8, k8, v8, qs, ks, bias)
+    )(q3, k3, v3, bias)
     return o[:, :t, :]
