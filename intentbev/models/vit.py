@@ -108,12 +108,27 @@ class _LinearParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """LayerNorm scale/bias params only — same names ('scale'/'bias') as
+    ``PallasLayerNorm``/``FastLayerNorm`` so checkpoints are interchangeable
+    when the LN math runs inside a fused consumer kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     fused: bool = False
     int8_serving: bool = False
     dtype: Any = jnp.float32
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(
@@ -121,9 +136,16 @@ class Mlp(nn.Module):
         x: jnp.ndarray,
         residual: jnp.ndarray | None = None,
         gate: jnp.ndarray | None = None,
+        ln: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ) -> jnp.ndarray:
         """``gate``: per-sample-ish stochastic-depth factor broadcastable to
-        x.shape[:-1]; folded into the fused kernel's epilogue."""
+        x.shape[:-1]; folded into the fused kernel's epilogue.
+
+        ``ln``: optional (scale, bias) of a pre-MLP LayerNorm to FOLD into
+        this module: on TPU the whole block tail x + gate*mlp(LN(x)) runs as
+        one Pallas kernel (ops.fused_ln_mlp — x read once, out written once);
+        elsewhere the LN is applied eagerly first. When ``ln`` is given,
+        ``residual`` must be the same array as ``x`` (pre-LN block tail)."""
         if self.int8_serving:
             from ..ops.int8 import int8_dense
 
@@ -150,14 +172,32 @@ class Mlp(nn.Module):
             and jax.default_backend() == "tpu"
         )
         if use_fused:
-            from ..ops.fused_mlp import fused_mlp
-
             d = x.shape[-1]
             w1, b1 = _LinearParams(d, self.hidden_dim, name="fc1")()
             w2, b2 = _LinearParams(self.hidden_dim, self.out_dim, name="fc2")()
+            if ln is not None:
+                from ..ops.fused_ln_mlp import fused_ln_mlp
+
+                return fused_ln_mlp(
+                    x, ln[0], ln[1], w1.astype(self.dtype), b1,
+                    w2.astype(self.dtype), b2, gate=gate, eps=self.ln_eps,
+                )
+            from ..ops.fused_mlp import fused_mlp
+
             return fused_mlp(
                 x, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
                 residual, gate=gate,
+            )
+        if ln is not None:
+            # eager fold (CPU/debug): same math as FastLayerNorm
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            xc = xf - mu
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+            inv = jax.lax.rsqrt(var + self.ln_eps).astype(self.dtype)
+            x = (
+                xc.astype(self.dtype) * inv * ln[0].astype(self.dtype)
+                + ln[1].astype(self.dtype)
             )
         y = nn.Dense(self.hidden_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc1")(x)
         y = nn.gelu(y, approximate=False)
@@ -272,12 +312,23 @@ class EncoderBlock(nn.Module):
             residual=x,
             gate=self._drop_path_gate(x) if use_gates else None,
         )
-        h = norm_cls(dtype=self.dtype, name="norm2")(x)
         mlp = Mlp(
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
             fused=self.fused_mlp, int8_serving=self.int8_serving,
             dtype=self.dtype, name="mlp",
         )
+        if self.fused_mlp and self.fused_ln and not self.int8_serving:
+            # block tail as ONE kernel on TPU: x + gate*mlp(norm2(x))
+            # (ops.fused_ln_mlp); norm2 params created with the same tree
+            # names so checkpoints are layout-identical either way
+            gamma, beta = _LNParams(d, name="norm2")()
+            x = mlp(
+                x, residual=x,
+                gate=self._drop_path_gate(x) if use_gates else None,
+                ln=(gamma, beta),
+            )
+            return x
+        h = norm_cls(dtype=self.dtype, name="norm2")(x)
         x = mlp(
             h.astype(self.dtype), residual=x,
             gate=self._drop_path_gate(x) if use_gates else None,

@@ -1,0 +1,104 @@
+"""Fused Pallas LN+MLP block-tail numerics vs plain jnp (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from intentbev.ops.fused_ln_mlp import fused_ln_mlp
+
+
+def _ref(x, gamma, beta, w1, b1, w2, b2, gate=None, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps) * gamma + beta
+    h = jax.nn.gelu(xn @ w1 + b1, approximate=False)
+    y = h @ w2 + b2
+    if gate is not None:
+        y = y * gate[..., None]
+    return y + x
+
+
+class TestFusedLnMlp:
+    def _inputs(self, rng, n=300, d=128, dh=512):
+        x = jnp.asarray(rng.normal(0, 1, (2, n, d)).astype(np.float32))
+        gamma = jnp.asarray(rng.normal(1, 0.1, d).astype(np.float32))
+        beta = jnp.asarray(rng.normal(0, 0.1, d).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, 0.05, (d, dh)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(0, 0.02, dh).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, 0.05, (dh, d)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(0, 0.02, d).astype(np.float32))
+        return x, gamma, beta, w1, b1, w2, b2
+
+    def test_forward_matches(self, rng):
+        args = self._inputs(rng)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_ln_mlp(*args))
+        want = np.asarray(_ref(*args))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_forward_with_gate(self, rng):
+        x, gamma, beta, w1, b1, w2, b2 = self._inputs(rng, n=256)
+        gate = jnp.asarray(
+            rng.choice([0.0, 1.25], size=x.shape[:2]).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, gate=gate))
+        want = np.asarray(_ref(x, gamma, beta, w1, b1, w2, b2, gate=gate))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_grads_match(self, rng):
+        args = self._inputs(rng, n=256, d=128, dh=256)
+
+        def loss_fused(*a):
+            with pltpu.force_tpu_interpret_mode():
+                return jnp.sum(jnp.sin(fused_ln_mlp(*a)))
+
+        def loss_ref(*a):
+            return jnp.sum(jnp.sin(_ref(*a)))
+
+        argnums = tuple(range(7))
+        with pltpu.force_tpu_interpret_mode():
+            gf = jax.grad(loss_fused, argnums=argnums)(*args)
+        gr = jax.grad(loss_ref, argnums=argnums)(*args)
+        names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"]
+        for name, a, b in zip(names, gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, err_msg=name)
+
+    def test_bf16(self, rng):
+        x, gamma, beta, w1, b1, w2, b2 = self._inputs(rng, n=256)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_ln_mlp(
+                x.astype(jnp.bfloat16), gamma, beta,
+                w1.astype(jnp.bfloat16), b1, w2.astype(jnp.bfloat16), b2,
+            )).astype(np.float32)
+        want = np.asarray(_ref(x, gamma, beta, w1, b1, w2, b2))
+        np.testing.assert_allclose(got, want, atol=0.25, rtol=0.05)
+
+
+class TestEncoderBlockFusedTail:
+    """The fused-tail EncoderBlock keeps the same param tree and (on the
+    eager fallback path) the same outputs as the separate norm2+mlp
+    structure."""
+
+    def test_param_tree_and_output(self, rng):
+        import flax.linen as nn
+        from intentbev.models.vit import EncoderBlock
+
+        x = jnp.asarray(rng.normal(0, 1, (2, 64, 96)).astype(np.float32))
+        blk_fused = EncoderBlock(
+            num_heads=6, mlp_ratio=4.0, qkv_bias=True, drop_path_rate=0.0,
+            use_flash=False, fused_ln=True, fused_mlp=True)
+        blk_plain = EncoderBlock(
+            num_heads=6, mlp_ratio=4.0, qkv_bias=True, drop_path_rate=0.0,
+            use_flash=False, fused_ln=False, fused_mlp=False)
+        v_fused = blk_fused.init(jax.random.key(0), x)
+        v_plain = blk_plain.init(jax.random.key(0), x)
+        tf = jax.tree_util.tree_structure(v_fused)
+        tp = jax.tree_util.tree_structure(v_plain)
+        assert tf == tp, f"param trees differ:\n{tf}\n{tp}"
+        yf = np.asarray(blk_fused.apply(v_plain, x))
+        yp = np.asarray(blk_plain.apply(v_plain, x))
+        np.testing.assert_allclose(yf, yp, atol=2e-5)
