@@ -28,6 +28,22 @@ from ..geometry import (
 )
 from ..bev.rasterize import parse_map_json, rasterize_map_ego_centric
 
+# pyarrow's feather reader has been observed to SEGFAULT under concurrent
+# reads from multiple loader threads (libarrow deref in table_to_dataframe);
+# all feather decodes in this process go through this lock. Cost is nil on
+# the typical 1-4 core host, and the decoded-sweep cache below removes ~90%
+# of the reads anyway.
+import threading
+
+_ARROW_LOCK = threading.Lock()
+
+
+def read_feather_locked(path, columns=None):
+    import pandas as pd
+
+    with _ARROW_LOCK:
+        return pd.read_feather(path, columns=columns)
+
 
 class ScenarioPaths(NamedTuple):
     log_dir: str
@@ -249,6 +265,10 @@ class ArgoverseSampleLoader:
         import threading
 
         self._cache_lock = threading.Lock()  # loaders run in a thread pool
+        # sweep windows slide by 1 frame, so consecutive samples share 9/10
+        # sweeps — cache decoded (sweep-ego xyz f32, intensity f32) per
+        # timestamp. Bound: max_cached_logs * this * ~16B * points/sweep.
+        self.max_cached_sweeps_per_log = 16
 
     # -- per-log cache ----------------------------------------------------
     def _get_log_data(self, seq: SequenceInfo) -> dict | None:
@@ -263,7 +283,7 @@ class ArgoverseSampleLoader:
             log_dir = Path(seq.log_dir)
             intent_file = log_dir / "annotations_with_intent.feather"
             if intent_file.is_file():
-                gt_df = pd.read_feather(intent_file)
+                gt_df = read_feather_locked(intent_file)
             elif self.require_intent_labels:
                 if self.verbose:
                     print(
@@ -272,21 +292,27 @@ class ArgoverseSampleLoader:
                     )
                 gt_df = None
             else:
-                gt_df = pd.read_feather(seq.annotations_path)
+                gt_df = read_feather_locked(seq.annotations_path)
 
             if gt_df is None:
                 entry = None
             else:
-                poses_df = pd.read_feather(log_dir / "city_SE3_egovehicle.feather")
+                poses_df = read_feather_locked(
+                    log_dir / "city_SE3_egovehicle.feather"
+                )
                 poses = {
                     int(r.timestamp_ns): r for r in poses_df.itertuples(index=False)
                 }
                 elements = parse_map_json(seq.map_json_path)
+                from collections import OrderedDict
+
                 entry = {
                     "gt_df": gt_df,
                     "poses": poses,
                     "map_elements": elements,
                     "map_raster_cache": {},
+                    "sweep_cache": OrderedDict(),
+                    "sweep_lock": threading.Lock(),
                 }
         except Exception as e:  # noqa: BLE001 - fault-tolerant data path
             if self.verbose:
@@ -308,9 +334,6 @@ class ArgoverseSampleLoader:
         return self._load(seq, aug_linear)
 
     def _load(self, seq: SequenceInfo, aug_linear=None) -> Sample | None:
-        import pandas as pd
-        import pyarrow
-
         log_data = self._get_log_data(seq)
         if log_data is None:
             return None
@@ -334,17 +357,10 @@ class ArgoverseSampleLoader:
         lidar_base = Path(seq.log_dir) / "sensors" / "lidar"
         any_sweep = False
         for i, ts in enumerate(seq.sweep_ts_list):
-            sweep_path = lidar_base / f"{ts}.feather"
-            if not sweep_path.is_file():
+            decoded = self._decoded_sweep(log_data, lidar_base, int(ts))
+            if decoded is None:
                 continue
-            try:
-                df = pd.read_feather(sweep_path, columns=["x", "y", "z", "intensity"])
-            except (pyarrow.ArrowInvalid, OSError):
-                if self.verbose:
-                    print(f"Warning: corrupt sweep {sweep_path}; skipping")
-                continue
-            if df.empty:
-                continue
+            raw, inten = decoded  # sweep-ego frame, already subsampled
             sweep_pose = poses.get(int(ts))
             if sweep_pose is None:
                 continue
@@ -356,18 +372,12 @@ class ArgoverseSampleLoader:
             except ValueError:
                 continue
             rel = ego_se3_world @ sweep_world
-            raw = df[["x", "y", "z"]].to_numpy(np.float64)
             from ..utils.native import transform_points_native
 
             pts = transform_points_native(raw, rel)
             if pts is None:
                 pts = transform_points(raw, rel).astype(np.float32)
-            inten = df["intensity"].to_numpy(np.float32)
             k = len(pts)
-            if k > self.max_points_per_sweep:
-                sel = np.linspace(0, k - 1, self.max_points_per_sweep).astype(np.int64)
-                pts, inten = pts[sel], inten[sel]
-                k = self.max_points_per_sweep
             packed[i, :k, :3] = pts
             packed[i, :k, 3] = inten
             packed_valid[i, :k] = True
@@ -380,6 +390,44 @@ class ArgoverseSampleLoader:
             seq.current_ts_ns, log_data["gt_df"], self.max_gt
         )
         return Sample(packed, packed_valid, map_bev, gt_boxes, gt_intents, gt_valid)
+
+    def _decoded_sweep(self, log_data: dict, lidar_base: Path, ts: int):
+        """(sweep-ego xyz f64[K,3], intensity f32[K]) for one sweep, LRU-
+        cached per log (windows slide by 1 frame, so 9/10 sweeps repeat);
+        subsampled to max_points_per_sweep. None for missing/corrupt."""
+        import pyarrow
+
+        cache = log_data["sweep_cache"]
+        lock = log_data["sweep_lock"]
+        with lock:
+            if ts in cache:
+                cache.move_to_end(ts)
+                return cache[ts]
+        sweep_path = lidar_base / f"{ts}.feather"
+        entry = None
+        if sweep_path.is_file():
+            try:
+                df = read_feather_locked(
+                    sweep_path, columns=["x", "y", "z", "intensity"]
+                )
+                if not df.empty:
+                    raw = df[["x", "y", "z"]].to_numpy(np.float64)
+                    inten = df["intensity"].to_numpy(np.float32)
+                    k = len(raw)
+                    if k > self.max_points_per_sweep:
+                        sel = np.linspace(
+                            0, k - 1, self.max_points_per_sweep
+                        ).astype(np.int64)
+                        raw, inten = raw[sel], np.ascontiguousarray(inten[sel])
+                    entry = (raw, inten)
+            except (pyarrow.ArrowInvalid, OSError):
+                if self.verbose:
+                    print(f"Warning: corrupt sweep {sweep_path}; skipping")
+        with lock:
+            while len(cache) >= self.max_cached_sweeps_per_log:
+                cache.popitem(last=False)
+            cache[ts] = entry
+        return entry
 
     def _rasterize_cached(self, log_data: dict, pose, aug_linear=None) -> np.ndarray:
         if self.use_city_raster_cache:

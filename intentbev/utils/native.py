@@ -19,14 +19,44 @@ _LIB_CANDIDATES = [
     Path(os.environ.get("INTENTBEV_NATIVE_LIB", "")),
 ]
 
+
+def _try_build() -> None:
+    """Build the .so from source on first import if a toolchain is present
+    (fresh checkouts ship only cpp/intentbev_host.cpp; running the host
+    pipeline on the numpy fallbacks is ~10x slower per sample). Failures are
+    silent — the numpy paths are always correct. Set INTENTBEV_NO_NATIVE_BUILD
+    to skip."""
+    if os.environ.get("INTENTBEV_NO_NATIVE_BUILD"):
+        return
+    src = Path(__file__).resolve().parents[2] / "cpp" / "intentbev_host.cpp"
+    out = src.with_name("libintentbev_host.so")
+    if not src.is_file() or out.is_file():
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", str(src), "-o", str(out) + ".tmp"],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(str(out) + ".tmp", out)  # atomic vs concurrent builders
+    except Exception:
+        pass
+
+
 native_lib = None
-for _p in _LIB_CANDIDATES:
-    if _p and _p.is_file():
-        try:
-            native_lib = ctypes.CDLL(str(_p))
-            break
-        except OSError:
-            native_lib = None
+for _attempt in range(2):
+    for _p in _LIB_CANDIDATES:
+        if _p and _p.is_file():
+            try:
+                native_lib = ctypes.CDLL(str(_p))
+                break
+            except OSError:
+                native_lib = None
+    if native_lib is not None or _attempt:
+        break
+    _try_build()
 
 NATIVE_AVAILABLE = native_lib is not None
 
