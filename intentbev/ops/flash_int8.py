@@ -14,8 +14,15 @@ more than the MXU win. In-kernel the absmax/round run on the VPU overlapped
 with the MXU and touch only VMEM-resident tiles (the K/V panel re-quantize
 per row-block step is redundant work but costs microseconds).
 
-No VJP — training stays bf16 (quantization noise in gradients is not worth
-it); this is the serving path behind ``ViTBackboneConfig.serving_int8``.
+**Status: kept measured-NEGATIVE result — not wired into the model.** On
+v5e at the flagship shape ([8, 4608, 384], D=64 heads) this kernel runs
+6.06 ms vs 4.83 ms for the bf16 ``flash_packed`` sublayer: QK^T is a
+64-deep contraction, so the MXU cannot reach the 2x int8 rate, and the
+in-kernel quantization of Q/K/V plus the P tile costs more than the P@V
+int8 win. ``serving_int8`` therefore keeps attention entirely bf16
+(models/vit.py Attention docstring). Kept (with tests) as the documented
+experiment so the next person doesn't re-derive it; see docs/PERF.md
+"Measured dead ends". No VJP — it was only ever a serving-path candidate.
 The reference has no quantized inference at all (torch fp32, model_vit.py).
 """
 

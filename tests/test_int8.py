@@ -97,3 +97,40 @@ class TestInt8Model:
             a, b_ = np.asarray(a).ravel(), np.asarray(b_).ravel()
             cos = np.sum(a * b_) / (np.linalg.norm(a) * np.linalg.norm(b_) + 1e-9)
             assert cos > 0.99, cos
+
+
+class TestFusedMlpInt8:
+    def test_matches_f32_mlp(self, rng):
+        from intentbev.ops.fused_mlp_int8 import fused_mlp_int8
+
+        n, d, dh = 300, 128, 512
+        x = jnp.asarray(rng.normal(0, 1, (2, n, d)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, 0.05, (d, dh)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(0, 0.02, dh).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, 0.05, (dh, d)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(0, 0.02, d).astype(np.float32))
+        r = jnp.asarray(rng.normal(0, 1, (2, n, d)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_mlp_int8(x, w1, b1, w2, b2, r))
+        want = np.asarray(
+            jax.nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2 + r)
+        cos = np.sum(got * want) / (
+            np.linalg.norm(got) * np.linalg.norm(want) + 1e-9)
+        assert cos > 0.999, cos
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.1, rel
+
+    def test_gate(self, rng):
+        from intentbev.ops.fused_mlp_int8 import fused_mlp_int8
+
+        n, d, dh = 256, 128, 256
+        x = jnp.asarray(rng.normal(0, 1, (1, n, d)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, 0.05, (d, dh)).astype(np.float32))
+        b1 = jnp.zeros((dh,), jnp.float32)
+        w2 = jnp.asarray(rng.normal(0, 0.05, (dh, d)).astype(np.float32))
+        b2 = jnp.zeros((d,), jnp.float32)
+        r = jnp.asarray(rng.normal(0, 1, (1, n, d)).astype(np.float32))
+        gate = jnp.zeros((1, n), jnp.float32)  # gate 0 -> pure residual
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_mlp_int8(x, w1, b1, w2, b2, r, gate=gate))
+        np.testing.assert_allclose(got, np.asarray(r), atol=1e-6)
