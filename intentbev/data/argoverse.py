@@ -180,39 +180,67 @@ def build_sequence_index(
     return sequences
 
 
+def gt_numpy_table(gt_df) -> dict | None:
+    """Extract the GT columns once into plain numpy arrays.
+
+    pandas' arrow-backed columns are NOT safe to filter concurrently from
+    loader threads (observed libarrow segfaults); converting at per-log
+    cache time means no arrow code ever runs per sample. Rows are
+    pre-filtered to vehicle categories with a valid heuristic intent.
+    Returns None when the intent column is missing (precompute not run)."""
+    if "heuristic_intent" not in gt_df.columns:
+        return None
+    keep = (
+        np.asarray(gt_df["category"].isin(VEHICLE_CATEGORIES))
+        & (np.asarray(gt_df["heuristic_intent"]) != -1)
+    )
+    sub = gt_df[keep]
+    return {
+        "timestamp_ns": sub["timestamp_ns"].to_numpy(np.int64),
+        "tx": sub["tx_m"].to_numpy(np.float64),
+        "ty": sub["ty_m"].to_numpy(np.float64),
+        "w": np.abs(sub["width_m"].to_numpy(np.float64)),
+        "l": np.abs(sub["length_m"].to_numpy(np.float64)),
+        "yaw": quat_to_yaw(
+            sub["qx"].to_numpy(np.float64), sub["qy"].to_numpy(np.float64),
+            sub["qz"].to_numpy(np.float64), sub["qw"].to_numpy(np.float64),
+        ),
+        "intent": sub["heuristic_intent"].to_numpy().astype(np.int32),
+    }
+
+
 def prepare_gt_for_frame(
-    current_ts_ns: int, gt_df, max_gt: int
+    current_ts_ns: int, gt, max_gt: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Frame GT -> padded (boxes f32[G,5], intents i32[G], valid bool[G]).
 
     Filter: frame timestamp, vehicle categories, heuristic_intent != -1
     (reference utils.py:184-225). Boxes are (cx, cy, |w|, |l|, yaw) in the
     ego frame (annotations are already ego-frame in AV2).
+
+    ``gt``: either a raw annotations DataFrame or a :func:`gt_numpy_table`
+    dict (the loader's thread-safe cached form).
     """
     boxes = np.zeros((max_gt, 5), dtype=np.float32)
     intents = np.zeros((max_gt,), dtype=np.int32)
     valid = np.zeros((max_gt,), dtype=bool)
-    if "heuristic_intent" not in gt_df.columns:
+    if gt is None:
         return boxes, intents, valid
-    frame = gt_df[
-        (gt_df["timestamp_ns"] == current_ts_ns)
-        & (gt_df["category"].isin(VEHICLE_CATEGORIES))
-        & (gt_df["heuristic_intent"] != -1)
-    ]
-    k = min(len(frame), max_gt)
+    if not isinstance(gt, dict):
+        gt = gt_numpy_table(gt)
+        if gt is None:
+            return boxes, intents, valid
+    rows = np.nonzero(gt["timestamp_ns"] == current_ts_ns)[0]
+    k = min(len(rows), max_gt)
     if k == 0:
         return boxes, intents, valid
-    sub = frame.iloc[:k]
-    yaw = quat_to_yaw(
-        sub["qx"].to_numpy(), sub["qy"].to_numpy(),
-        sub["qz"].to_numpy(), sub["qw"].to_numpy(),
-    )
-    boxes[:k, 0] = sub["tx_m"].to_numpy()
-    boxes[:k, 1] = sub["ty_m"].to_numpy()
-    boxes[:k, 2] = np.abs(sub["width_m"].to_numpy())
-    boxes[:k, 3] = np.abs(sub["length_m"].to_numpy())
-    boxes[:k, 4] = yaw
-    intents[:k] = sub["heuristic_intent"].to_numpy().astype(np.int32)
+    rows = rows[:k]
+    boxes[:k, 0] = gt["tx"][rows]
+    boxes[:k, 1] = gt["ty"][rows]
+    boxes[:k, 2] = gt["w"][rows]
+    boxes[:k, 3] = gt["l"][rows]
+    boxes[:k, 4] = gt["yaw"][rows]
+    intents[:k] = gt["intent"][rows]
     valid[:k] = True
     return boxes, intents, valid
 
@@ -300,14 +328,19 @@ class ArgoverseSampleLoader:
                 poses_df = read_feather_locked(
                     log_dir / "city_SE3_egovehicle.feather"
                 )
-                poses = {
-                    int(r.timestamp_ns): r for r in poses_df.itertuples(index=False)
-                }
+                # materialize EVERYTHING out of arrow-backed pandas here:
+                # loader threads must never touch libarrow (see _ARROW_LOCK)
+                with _ARROW_LOCK:
+                    gt_table = gt_numpy_table(gt_df)
+                    poses = {
+                        int(r.timestamp_ns): r
+                        for r in poses_df.itertuples(index=False)
+                    }
                 elements = parse_map_json(seq.map_json_path)
                 from collections import OrderedDict
 
                 entry = {
-                    "gt_df": gt_df,
+                    "gt_table": gt_table,
                     "poses": poses,
                     "map_elements": elements,
                     "map_raster_cache": {},
@@ -387,7 +420,7 @@ class ArgoverseSampleLoader:
 
         map_bev = self._rasterize_cached(log_data, pose, aug_linear)
         gt_boxes, gt_intents, gt_valid = prepare_gt_for_frame(
-            seq.current_ts_ns, log_data["gt_df"], self.max_gt
+            seq.current_ts_ns, log_data["gt_table"], self.max_gt
         )
         return Sample(packed, packed_valid, map_bev, gt_boxes, gt_intents, gt_valid)
 
