@@ -28,21 +28,71 @@ from ..geometry import (
 )
 from ..bev.rasterize import parse_map_json, rasterize_map_ego_centric
 
-# pyarrow's feather reader has been observed to SEGFAULT under concurrent
-# reads from multiple loader threads (libarrow deref in table_to_dataframe);
-# all feather decodes in this process go through this lock. Cost is nil on
-# the typical 1-4 core host, and the decoded-sweep cache below removes ~90%
-# of the reads anyway.
+# libarrow in this environment is NOT thread-safe: concurrent execution of
+# any two arrow code paths from different threads segfaults deterministically
+# (bisected 2026-08-17: first presented as a null deref inside read_feather
+# on a fresh pool thread; with reads serialized it moved to pandas'
+# arrow-backed string Index construction — `df[["x","y","z"]]` triggers
+# ArrowStringArray._from_sequence — racing the reader). Workaround: EVERY
+# arrow/pandas-on-arrow operation runs on one persistent daemon thread via
+# ``_PINNED``, and only plain numpy arrays / python objects cross back to
+# the caller. Cost is nil — reads were already serialized, and the
+# decoded-sweep cache removes ~90% of them anyway.
 import threading
 
-_ARROW_LOCK = threading.Lock()
+
+class _PinnedArrowThread:
+    """Executes arbitrary callables on a single persistent daemon thread."""
+
+    def __init__(self):
+        self._pool = None
+        self._guard = threading.Lock()
+
+    def run(self, fn, *args):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with self._guard:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="arrow-pinned"
+                )
+        return self._pool.submit(fn, *args).result()
+
+
+_PINNED = _PinnedArrowThread()
 
 
 def read_feather_locked(path, columns=None):
-    import pandas as pd
+    """Feather -> pandas DataFrame, decoded entirely on the pinned thread.
 
-    with _ARROW_LOCK:
-        return pd.read_feather(path, columns=columns)
+    Only use the result on the calling thread if no arrow-backed column is
+    touched afterwards (prefer :func:`read_sweep_arrays` /
+    :func:`read_log_tables` which return plain numpy)."""
+    from pyarrow import feather
+
+    return _PINNED.run(
+        lambda: feather.read_feather(str(path), columns=columns,
+                                     use_threads=False)
+    )
+
+
+def read_sweep_arrays(path):
+    """One LiDAR sweep -> (xyz f64[K, 3], intensity f32[K]) pure numpy;
+    all arrow work happens on the pinned thread."""
+    from pyarrow import feather
+
+    def _do():
+        t = feather.read_table(
+            str(path), columns=["x", "y", "z", "intensity"]
+        )
+        cols = [
+            t.column(c).to_numpy(zero_copy_only=False)
+            for c in ("x", "y", "z", "intensity")
+        ]
+        xyz = np.stack(cols[:3], axis=1).astype(np.float64)
+        return xyz, cols[3].astype(np.float32)
+
+    return _PINNED.run(_do)
 
 
 class ScenarioPaths(NamedTuple):
@@ -300,8 +350,6 @@ class ArgoverseSampleLoader:
 
     # -- per-log cache ----------------------------------------------------
     def _get_log_data(self, seq: SequenceInfo) -> dict | None:
-        import pandas as pd
-
         with self._cache_lock:
             if seq.log_id in self._log_cache:
                 self._log_cache.move_to_end(seq.log_id)
@@ -311,31 +359,39 @@ class ArgoverseSampleLoader:
             log_dir = Path(seq.log_dir)
             intent_file = log_dir / "annotations_with_intent.feather"
             if intent_file.is_file():
-                gt_df = read_feather_locked(intent_file)
+                gt_path = intent_file
             elif self.require_intent_labels:
                 if self.verbose:
                     print(
                         f"ERROR: pre-computed intent file missing for log "
                         f"{seq.log_id}; run intentbev-precompute-labels."
                     )
-                gt_df = None
+                gt_path = None
             else:
-                gt_df = read_feather_locked(seq.annotations_path)
+                gt_path = seq.annotations_path
 
-            if gt_df is None:
+            if gt_path is None:
                 entry = None
             else:
-                poses_df = read_feather_locked(
-                    log_dir / "city_SE3_egovehicle.feather"
-                )
-                # materialize EVERYTHING out of arrow-backed pandas here:
-                # loader threads must never touch libarrow (see _ARROW_LOCK)
-                with _ARROW_LOCK:
-                    gt_table = gt_numpy_table(gt_df)
-                    poses = {
+                # ALL pandas/arrow work on the pinned thread; only numpy
+                # arrays and plain-python pose rows cross back (libarrow
+                # is not thread-safe here — see _PinnedArrowThread)
+                def _tables():
+                    from pyarrow import feather
+
+                    gt_df = feather.read_feather(
+                        str(gt_path), use_threads=False
+                    )
+                    poses_df = feather.read_feather(
+                        str(log_dir / "city_SE3_egovehicle.feather"),
+                        use_threads=False,
+                    )
+                    return gt_numpy_table(gt_df), {
                         int(r.timestamp_ns): r
                         for r in poses_df.itertuples(index=False)
                     }
+
+                gt_table, poses = _PINNED.run(_tables)
                 elements = parse_map_json(seq.map_json_path)
                 from collections import OrderedDict
 
@@ -440,12 +496,8 @@ class ArgoverseSampleLoader:
         entry = None
         if sweep_path.is_file():
             try:
-                df = read_feather_locked(
-                    sweep_path, columns=["x", "y", "z", "intensity"]
-                )
-                if not df.empty:
-                    raw = df[["x", "y", "z"]].to_numpy(np.float64)
-                    inten = df["intensity"].to_numpy(np.float32)
+                raw, inten = read_sweep_arrays(sweep_path)
+                if len(raw):
                     k = len(raw)
                     if k > self.max_points_per_sweep:
                         sel = np.linspace(
