@@ -187,3 +187,30 @@ class TestLoaderAndPrecompute:
         bev = voxelize_packed(jnp.asarray(sample.points), jnp.asarray(sample.points_valid), GRID)
         assert bev.shape == (64, 96, 12)
         assert float(bev.max()) > 0
+
+
+class TestMultiEpochThreadedIteration:
+    """Regression: libarrow in this environment is not thread-safe; the
+    threaded loader segfaulted deterministically at the SECOND epoch's
+    first feather read whenever augmentation kept per-sample rasterization
+    live (pre-fix repro: 2 workers, aug on, epoch boundary). All arrow
+    work is now pinned to one persistent thread (argoverse._PINNED)."""
+
+    def test_two_epochs_with_augment(self, split_dir):
+        from intentbev.configs import AugmentConfig
+        from intentbev.data.pipeline import batch_iterator
+
+        precompute_run(str(split_dir.parent), [split_dir.name], force=False)
+        v = ScenarioValidator(str(split_dir), verbose=False)
+        seqs = build_sequence_index(v.find_valid_scenarios(), num_sweeps=3)
+        loader = ArgoverseSampleLoader(GRID, max_gt=8, verbose=False)
+        aug = AugmentConfig()
+        for epoch in range(2):
+            n = 0
+            for batch in batch_iterator(
+                seqs, loader, 2, shuffle=True, seed=epoch, num_workers=2,
+                drop_last=True, augment=aug,
+            ):
+                assert batch.points.shape[0] == 2
+                n += 1
+            assert n == len(seqs) // 2
