@@ -34,14 +34,20 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 from .flash_attention import _key_bias, _pad_len
 
-LANE_BLOCK = 128          # channel block = LANE_BLOCK // head_dim heads
+LANE_BLOCK = 128          # bwd channel block = LANE_BLOCK // head_dim heads
+FWD_LANE_BLOCK = 384      # fwd channel block: all 6 heads in one program —
+                          # the [BQ, T_pad] f32 score scratch is reused per
+                          # head, so widening the head block amortizes the
+                          # per-program overhead (DMA windows, grid launch)
+                          # without growing the VMEM working set the way a
+                          # larger row block does
 BLOCK_Q_PK = 384          # fwd row-block (512 measured slightly slower)
 BLOCK_BWD_PK = 256        # bwd row-blocks (384 measured no better)
 
 
-def _heads_per_block(dh: int) -> int:
-    assert LANE_BLOCK % dh == 0, f"head_dim {dh} must divide {LANE_BLOCK}"
-    return LANE_BLOCK // dh
+def _heads_per_block(dh: int, lane_block: int = LANE_BLOCK) -> int:
+    assert lane_block % dh == 0, f"head_dim {dh} must divide {lane_block}"
+    return lane_block // dh
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, s_buf,
@@ -74,7 +80,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, s_buf,
 def _fwd(q3, k3, v3, num_heads: int, scale: float, seq_len: int):
     b, t_pad, dm = q3.shape
     dh = dm // num_heads
-    hp = _heads_per_block(dh)
+    lane_block = FWD_LANE_BLOCK if dm % FWD_LANE_BLOCK == 0 else LANE_BLOCK
+    hp = _heads_per_block(dh, lane_block)
     n_pairs = num_heads // hp
     nq = t_pad // BLOCK_Q_PK
     bias = _key_bias(t_pad, seq_len)
@@ -83,17 +90,17 @@ def _fwd(q3, k3, v3, num_heads: int, scale: float, seq_len: int):
         grid=(b, n_pairs, nq),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q_PK, LANE_BLOCK), lambda i, p, j: (i, j, p),
+            pl.BlockSpec((1, BLOCK_Q_PK, lane_block), lambda i, p, j: (i, j, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, BLOCK_Q_PK, LANE_BLOCK), lambda i, p, j: (i, j, p),
+            pl.BlockSpec((1, BLOCK_Q_PK, lane_block), lambda i, p, j: (i, j, p),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, BLOCK_Q_PK, 1),
                          lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),

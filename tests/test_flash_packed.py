@@ -49,6 +49,19 @@ class TestPackedForward:
         want = np.asarray(_packed_via_reference(q, k, v, h))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    def test_six_heads_wide_lane_block(self, rng):
+        """dm=384 (flagship ViT-S layout) takes the FWD_LANE_BLOCK=384 path:
+        all 6 heads unrolled in one program over the shared score scratch."""
+        b, h, dh, t = 1, 6, 64, 300
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention_packed(q, k, v, h, seq_len=t))
+        want = np.asarray(_packed_via_reference(q, k, v, h))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
 
 class TestPackedFallback:
     def test_odd_head_count_falls_back(self, rng):
