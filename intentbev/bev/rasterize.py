@@ -174,8 +174,13 @@ def rasterize_map_ego_centric(
     ego_pose,
     grid: GridConfig,
     aug_linear: np.ndarray | None = None,
+    out_dtype=np.float32,
 ) -> np.ndarray:
-    """9-channel ego-centric map raster, f32[H, W, 9] (channels-last).
+    """9-channel ego-centric map raster, [H, W, 9] channels-last in
+    ``out_dtype`` (f32 = reference parity, utils.py:182; uint8 is exact for
+    these binary channels and is what the data pipeline ships to the device
+    — 4x fewer host->device bytes for the [B, H, W, 9] batch, cast to the
+    compute dtype inside the jitted step).
 
     ``ego_pose`` is anything exposing tx_m, ty_m, qx..qw (pandas Series or
     dict). Mirrors reference utils.py:108-182 including the in-bounds point
@@ -228,4 +233,4 @@ def rasterize_map_ego_centric(
         if len(px) >= 3:
             fill_polygon(out[3], px)
 
-    return np.transpose(out, (1, 2, 0)).astype(np.float32)
+    return np.transpose(out, (1, 2, 0)).astype(out_dtype)

@@ -57,6 +57,30 @@ def pack_points(
     return packed, valid
 
 
+# Host->device point transport: xyz in int16 CENTIMETERS (exact to 1 cm,
+# range +-327 m covers any AV2 sweep), intensity raw (0-255, exact in i16).
+# Halves the per-batch transfer vs f32 [B, S, P, 4]; the <=5 mm rounding is
+# 2.5% of a 0.2 m voxel (below sensor noise). Loaders/oracles stay f32 —
+# quantization happens only at the batch-stack transport boundary
+# (data.pipeline._stack) and is undone on device before any geometry.
+_POINT_QUANT_SCALE = np.array([100.0, 100.0, 100.0, 1.0], np.float32)
+
+
+def quantize_points_cm(points: np.ndarray) -> np.ndarray:
+    """f32[..., 4] (x, y, z, intensity) -> i16[..., 4] transport encoding."""
+    q = np.round(points * _POINT_QUANT_SCALE)
+    return np.clip(q, -32767, 32767).astype(np.int16)
+
+
+def dequantize_points(points: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of ``quantize_points_cm``; f32 passes through
+    (tests and pre-quantization callers feed f32 directly)."""
+    if points.dtype == jnp.int16:
+        inv = jnp.asarray([0.01, 0.01, 0.01, 1.0], jnp.float32)
+        return points.astype(jnp.float32) * inv
+    return points
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "out_dtype"))
 def voxelize_packed(
     points: jnp.ndarray, valid: jnp.ndarray, grid: GridConfig,

@@ -300,7 +300,10 @@ class Sample(NamedTuple):
 
     points: np.ndarray       # f32[S, P, 4]
     points_valid: np.ndarray  # bool[S, P]
-    map_bev: np.ndarray      # f32[H, W, 9]
+    map_bev: np.ndarray      # u8[H, W, 9] (binary; f32 on the city-raster
+                             # fast path whose bilinear warp is fractional);
+                             # cast to the compute dtype on device — u8
+                             # transport is 4x fewer tunnel/DMA bytes
     gt_boxes: np.ndarray     # f32[G, 5]
     gt_intentions: np.ndarray  # i32[G]
     gt_valid: np.ndarray     # bool[G]
@@ -543,5 +546,6 @@ class ArgoverseSampleLoader:
                  "qy": pose.qy, "qz": pose.qz, "qw": pose.qw},
                 self.grid,
                 aug_linear=aug_linear,
+                out_dtype=np.uint8,
             )
         return cache[key]

@@ -27,9 +27,13 @@ from .argoverse import ArgoverseSampleLoader, Sample, SequenceInfo
 
 
 class Batch(NamedTuple):
-    points: np.ndarray        # f32[B, S, P, 4]
+    # points/map_bev use compact TRANSPORT dtypes: the batch crosses
+    # host->device every step, so bytes are the cost (i16 cm points +
+    # u8 binary map cut the ~125 MB f32 batch-8 to ~42 MB). Device
+    # consumers dequantize/cast first (bev.voxelize.dequantize_points).
+    points: np.ndarray        # i16[B, S, P, 4] xyz in cm, intensity raw
     points_valid: np.ndarray  # bool[B, S, P]
-    map_bev: np.ndarray       # f32[B, H, W, 9]
+    map_bev: np.ndarray       # u8[B, H, W, 9] (f32 on the city-raster path)
     gt_boxes: np.ndarray      # f32[B, G, 5]
     gt_intentions: np.ndarray  # i32[B, G]
     gt_valid: np.ndarray      # bool[B, G]
@@ -37,8 +41,10 @@ class Batch(NamedTuple):
 
 
 def _stack(samples: Sequence[Sample], aug: Sequence[np.ndarray]) -> Batch:
+    from ..bev.voxelize import quantize_points_cm
+
     return Batch(
-        points=np.stack([s.points for s in samples]),
+        points=quantize_points_cm(np.stack([s.points for s in samples])),
         points_valid=np.stack([s.points_valid for s in samples]),
         map_bev=np.stack([s.map_bev for s in samples]),
         gt_boxes=np.stack([s.gt_boxes for s in samples]),

@@ -41,7 +41,7 @@ from .metrics import (
     match_intentions,
     sample_average_precision,
 )
-from .bev.voxelize import voxelize_packed
+from .bev.voxelize import dequantize_points, voxelize_packed
 from .models import build_model
 
 
@@ -65,9 +65,11 @@ def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray,
 
     def eval_step_fn(variables, batch, sample_valid, accum: EvalAccum):
         lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, grid))(
-            batch["points"], batch["points_valid"]
+            dequantize_points(batch["points"]), batch["points_valid"]
         )
-        cls_l, box_d, int_l = model.apply(variables, lidar, batch["map_bev"])
+        cls_l, box_d, int_l = model.apply(
+            variables, lidar, batch["map_bev"].astype(lidar.dtype)
+        )
         det = batched_postprocess(
             cls_l, box_d, int_l, anchors,
             confidence_threshold=ev.confidence_threshold,

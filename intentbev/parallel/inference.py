@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bev.voxelize import voxelize_packed
+from ..bev.voxelize import dequantize_points, voxelize_packed
 from ..boxes.anchors import generate_anchors
 from ..boxes.nms import Detections, batched_postprocess
 from ..configs import ExperimentConfig
@@ -45,9 +45,11 @@ class StreamingInferencer:
 
         def infer(variables, points, points_valid, map_bev):
             lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, grid))(
-                points, points_valid
+                dequantize_points(points), points_valid
             )
-            cls_l, box_d, int_l = self.model.apply(variables, lidar, map_bev)
+            cls_l, box_d, int_l = self.model.apply(
+                variables, lidar, map_bev.astype(lidar.dtype)
+            )
             return batched_postprocess(
                 cls_l, box_d, int_l, anchors,
                 confidence_threshold=ev.confidence_threshold,

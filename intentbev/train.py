@@ -31,7 +31,7 @@ import numpy as np
 import optax
 
 from .bev.augment import batched_augment_bev
-from .bev.voxelize import voxelize_packed
+from .bev.voxelize import dequantize_points, voxelize_packed
 from .boxes.anchors import generate_anchors
 from .checkpoint import save_checkpoint
 from .configs import (
@@ -159,9 +159,14 @@ def _augmented_inputs(batch, rng_aug, aug_cfg, grid, compute_dtype):
     """
     from .bev.augment import augment_points_gt, dropout_keep_mask
 
+    # transport decode: u8 map -> compute dtype, i16 cm points -> f32
+    # (bev.voxelize transport encoding — the batch crosses host->device
+    # every step, so it ships in compact dtypes). No-op for f32 callers.
+    map_in = batch["map_bev"].astype(compute_dtype)
+    points_in = dequantize_points(batch["points"])
     if "aug_params" in batch:
         pts, gt_boxes, gt_intents = jax.vmap(augment_points_gt)(
-            batch["points"], batch["gt_boxes"], batch["gt_intentions"],
+            points_in, batch["gt_boxes"], batch["gt_intentions"],
             batch["gt_valid"], batch["aug_params"],
         )
         lidar = jax.vmap(
@@ -172,14 +177,14 @@ def _augmented_inputs(batch, rng_aug, aug_cfg, grid, compute_dtype):
             lambda k: dropout_keep_mask(k, aug_cfg, grid.height_px, grid.width_px)
         )(keys)[..., None]
         lidar = lidar * keep.astype(lidar.dtype)
-        map_bev = batch["map_bev"] * keep.astype(batch["map_bev"].dtype)
+        map_bev = map_in * keep.astype(map_in.dtype)
         return lidar, map_bev, gt_boxes, gt_intents
 
     lidar = jax.vmap(
         lambda p, v: voxelize_packed(p, v, grid, out_dtype=compute_dtype)
-    )(batch["points"], batch["points_valid"])
+    )(points_in, batch["points_valid"])
     aug = batched_augment_bev(
-        lidar, batch["map_bev"], batch["gt_boxes"], batch["gt_intentions"],
+        lidar, map_in, batch["gt_boxes"], batch["gt_intentions"],
         batch["gt_valid"], rng_aug, aug_cfg, grid,
     )
     return aug.lidar_bev, aug.map_bev, aug.gt_boxes, aug.gt_intentions

@@ -77,6 +77,24 @@ class TestVoxelizer:
         packed, valid = pack_points([pts], [inten], 1, 32)
         assert valid.sum() == 32
 
+    def test_point_transport_roundtrip(self, rng):
+        """i16-cm transport encoding: xyz exact to 5 mm, integer intensity
+        exact, f32 passthrough unchanged."""
+        from intentbev.bev.voxelize import dequantize_points, quantize_points_cm
+
+        pts = np.zeros((2, 64, 4), np.float32)
+        pts[..., 0] = rng.uniform(-75, 75, (2, 64))
+        pts[..., 1] = rng.uniform(-75, 75, (2, 64))
+        pts[..., 2] = rng.uniform(-3, 4, (2, 64))
+        pts[..., 3] = rng.integers(0, 256, (2, 64))
+        q = quantize_points_cm(pts)
+        assert q.dtype == np.int16
+        deq = np.asarray(dequantize_points(jnp.asarray(q)))
+        np.testing.assert_allclose(deq[..., :3], pts[..., :3], atol=0.005 + 1e-6)
+        np.testing.assert_array_equal(deq[..., 3], pts[..., 3])
+        passthrough = np.asarray(dequantize_points(jnp.asarray(pts)))
+        np.testing.assert_array_equal(passthrough, pts)
+
 
 class TestRasterPrimitives:
     def test_fill_polygon_vs_cv2(self, rng):
