@@ -403,13 +403,21 @@ def train(
         )
         accum = {"loss": 0.0, "cls_loss": 0.0, "box_loss": 0.0, "intent_loss": 0.0}
         n_batches = 0
+        # Metric handles stay ON DEVICE until the epoch boundary: a
+        # per-step float()/item() would block the loop on every step's
+        # results (each a host<->device sync), killing async dispatch
+        # run-ahead — the reference pays exactly this with its per-batch
+        # .item() pulls (train_vit.py:175-178). 5 scalars/step is nothing
+        # to hold; one device_get drains them per epoch.
+        pending_metrics: list = []
         for batch in device_prefetch(iter(it), size=2, put=batch_to_device):
             bdict = batch._asdict()
             state, metrics = train_step(state, bdict, rng)
             step_count += 1
             n_batches += 1
+            pending_metrics.append(metrics)
             if step_count % cfg.train.log_every_steps == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 rate = step_count * cfg.train.batch_size / (time.time() - t_start)
                 mlog.log(step_count, samples_per_sec=rate, **m)
                 log_fn(
@@ -419,8 +427,6 @@ def train(
                     f"#pos {m['num_pos_anchors']:.0f} "
                     f"[{rate:.1f} samples/s]"
                 )
-            for k in accum:
-                accum[k] += float(metrics[k])
             if step_count % cfg.train.checkpoint_every_steps == 0:
                 # step_count is the GLOBAL step (initialised from the
                 # restored step on resume) so checkpoint names keep sorting
@@ -430,6 +436,9 @@ def train(
             if max_steps is not None and step_count >= max_steps:
                 break
         if n_batches:
+            for g in jax.device_get(pending_metrics):
+                for k in accum:
+                    accum[k] += float(g[k])
             last_metrics = {k: v / n_batches for k, v in accum.items()}
             new_lr = scheduler.step(last_metrics["loss"])
             state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
