@@ -146,8 +146,12 @@ def evaluate(
     max_batches: int | None = None,
     log_fn=print,
     distributed: bool = False,
+    step: int | None = None,
 ) -> dict:
-    state, cfg = load_checkpoint(ckpt_dir)
+    """``step``: evaluate a specific retained checkpoint instead of the
+    latest — lets a single run directory evidence the metric trend over
+    training (e.g. step 250 vs final)."""
+    state, cfg = load_checkpoint(ckpt_dir, step=step)
     if cfg_override is not None:
         cfg = cfg_override
     model = build_model(cfg)  # eval mode: f32, no remat
@@ -238,6 +242,8 @@ def main(argv=None):
                    help="shard eval batches over the 'data' axis of a mesh "
                         "of all visible devices (psum-reduced accumulators)")
     p.add_argument("--platform", default=None)
+    p.add_argument("--step", type=int, default=None,
+                   help="evaluate this retained checkpoint step (default: latest)")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -253,7 +259,7 @@ def main(argv=None):
         )
     evaluate(args.ckpt_dir, args.data_dir, cfg_override=cfg_override,
              num_workers=args.num_workers, max_batches=args.max_batches,
-             distributed=args.distributed)
+             distributed=args.distributed, step=args.step)
 
 
 if __name__ == "__main__":
