@@ -6,13 +6,15 @@ at ~16 ms/step of pure copies on the full twin-ViT. These kernels consume
 the Dense layout directly.
 
 Lane-blocking trick: Mosaic requires the last block dim to be 128-divisible
-(or the full array dim), so per-64-lane head slices can't be blocked — but
-a 128-lane block covers exactly TWO heads (D=64). The grid therefore runs
-over (batch, head-pairs, row-blocks); each program DMAs only its pair's
-[T_pad, 128] K/V panels (~1.2 MB bf16 at flagship geometry) and unrolls the
-two heads over an explicitly reused VMEM score scratch, keeping the whole
-working set well under the 16 MB VMEM budget even with Mosaic's double
-buffering.
+(or the full array dim), so per-64-lane head slices can't be blocked — a
+128-lane block covers exactly TWO heads (D=64). The grid runs over
+(batch, head-groups, row-blocks), each program unrolling its group's heads
+over an explicitly reused VMEM score scratch. The FORWARD widens the head
+group to the full 384 lanes (all 6 heads per program — measured 52.3 ->
+54.4 fps e2e): the scratch is reused per head, so tripling the per-program
+work amortizes grid/DMA overhead without growing the working set; the
+backward kernels keep the 128-lane pair block (their two scratches and
+full-panel operands are already VMEM-heavy).
 
 logsumexp is stored as [B, H, T_pad, 1] so its blocks satisfy the same
 lane constraints.
@@ -41,7 +43,7 @@ FWD_LANE_BLOCK = 384      # fwd channel block: all 6 heads in one program —
                           # per-program overhead (DMA windows, grid launch)
                           # without growing the VMEM working set the way a
                           # larger row block does
-BLOCK_Q_PK = 384          # fwd row-block (512 measured slightly slower)
+BLOCK_Q_PK = 384          # fwd row-block (512/768 measured slower, also with wide lanes)
 BLOCK_BWD_PK = 256        # bwd row-blocks (384 measured no better)
 
 
