@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import _key_bias, _pad_len
-from .flash_packed import BLOCK_Q_PK, LANE_BLOCK, _COMPILER_PARAMS, _heads_per_block
+from ..flash_attention import _key_bias, _pad_len
+from ..flash_packed import BLOCK_Q_PK, LANE_BLOCK, _COMPILER_PARAMS, _heads_per_block
 
 
 def _quant_rows(x32: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

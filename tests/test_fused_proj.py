@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
-from intentbev.ops.fused_proj import fused_dense_residual
+from intentbev.ops.experimental.fused_proj import fused_dense_residual
 
 
 def _ref(x, w, b, r, gate=None):

@@ -14,7 +14,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from intentbev.ops.attention import reference_attention
-from intentbev.ops.flash_int8 import flash_attention_packed_int8
+from intentbev.ops.experimental.flash_int8 import flash_attention_packed_int8
 from intentbev.ops.int8 import int8_dense, quantize_cols, quantize_rows
 
 
