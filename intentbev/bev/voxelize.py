@@ -67,7 +67,14 @@ _POINT_QUANT_SCALE = np.array([100.0, 100.0, 100.0, 1.0], np.float32)
 
 
 def quantize_points_cm(points: np.ndarray) -> np.ndarray:
-    """f32[..., 4] (x, y, z, intensity) -> i16[..., 4] transport encoding."""
+    """f32[..., 4] (x, y, z, intensity) -> i16[..., 4] transport encoding.
+
+    Assumes intensity is integral (real AV2 reflectance is 0-255 integers,
+    so the round is exact). Float intensities (e.g. synthetic continuous
+    uniforms) are perturbed by up to 0.5 in the max-intensity channel —
+    oracle-vs-pipeline parity tests should feed f32 directly (the
+    ``dequantize_points`` passthrough path), which they do.
+    """
     q = np.round(points * _POINT_QUANT_SCALE)
     return np.clip(q, -32767, 32767).astype(np.int16)
 
@@ -92,6 +99,14 @@ def voxelize_packed(
     ``out_dtype``. Emitting bf16 directly halves the HBM read of the
     290-channel BEV by the patch-embed conv (f32 batch-8 BEV is ~2.7 GB).
     """
+    if not jnp.issubdtype(points.dtype, jnp.floating):
+        raise TypeError(
+            "voxelize_packed expects floating-point points (meters); got "
+            f"{points.dtype}. i16 transport points must be decoded with "
+            "dequantize_points first — feeding centimeters here would put "
+            "nearly every point outside the grid and silently produce an "
+            "empty BEV."
+        )
     h, w = grid.height_px, grid.width_px
     z_ch = grid.lidar_height_channels
     s = points.shape[0]

@@ -123,22 +123,41 @@ def init_train_state(
 
 
 def compute_intention_class_weights(
-    sequences, loader, num_classes: int = 8, max_sequences: int | None = None
+    sequences, loader, num_classes: int = 8,
+    max_sequences: int | None = 2048, num_workers: int = 4,
 ) -> np.ndarray:
     """Inverse-frequency intention class weights from training GT.
 
     Reference train_vit.py:92-115: counts over all GT labels, smoothed +1,
     weights = total/counts, normalised to sum 1. Used by the loss only when
     downsampling is off (train_vit.py:121).
+
+    The reference pays a full-dataset counting pass through its DataLoader
+    (train_cnn.py:78-88) — hours before step 1 on real AV2 Train Part 1.
+    Here the pass is bounded: an even-stride sample of ``max_sequences``
+    sequences (pass None for the full set), loaded by a thread pool (the
+    loader serializes pyarrow reads internally, so concurrent loads are
+    safe). Class *frequencies* converge long before the full pass does.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if max_sequences is not None and len(sequences) > max_sequences:
+        idx = np.linspace(0, len(sequences) - 1, max_sequences).astype(np.int64)
+        sequences = [sequences[i] for i in idx]
+
     counts = np.zeros(num_classes, dtype=np.int64)
-    for seq in sequences[: max_sequences or len(sequences)]:
+
+    def count_one(seq) -> np.ndarray:
         s = loader.load(seq)
         if s is None:
-            continue
+            return np.zeros(num_classes, dtype=np.int64)
         labels = s.gt_intentions[s.gt_valid]
         labels = labels[(labels >= 0) & (labels < num_classes)]
-        np.add.at(counts, labels, 1)
+        return np.bincount(labels, minlength=num_classes).astype(np.int64)
+
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        for c in pool.map(count_one, sequences):
+            counts += c
     total = counts.sum()
     if total == 0:
         return np.ones(num_classes, dtype=np.float32) / num_classes
@@ -403,13 +422,23 @@ def train(
         )
         accum = {"loss": 0.0, "cls_loss": 0.0, "box_loss": 0.0, "intent_loss": 0.0}
         n_batches = 0
-        # Metric handles stay ON DEVICE until the epoch boundary: a
-        # per-step float()/item() would block the loop on every step's
-        # results (each a host<->device sync), killing async dispatch
-        # run-ahead — the reference pays exactly this with its per-batch
-        # .item() pulls (train_vit.py:175-178). 5 scalars/step is nothing
-        # to hold; one device_get drains them per epoch.
+        # Metric handles stay ON DEVICE between log syncs: a per-step
+        # float()/item() would block the loop on every step's results
+        # (each a host<->device sync), killing async dispatch run-ahead —
+        # the reference pays exactly this with its per-batch .item() pulls
+        # (train_vit.py:175-178). The pending list is drained into the
+        # host-side accum at each log_every_steps sync (whose device_get
+        # blocks anyway), so it stays bounded at log_every_steps entries
+        # instead of growing for a whole epoch.
         pending_metrics: list = []
+
+        def drain_pending() -> None:
+            nonlocal pending_metrics
+            for g in jax.device_get(pending_metrics):
+                for k in accum:
+                    accum[k] += float(g[k])
+            pending_metrics = []
+
         for batch in device_prefetch(iter(it), size=2, put=batch_to_device):
             bdict = batch._asdict()
             state, metrics = train_step(state, bdict, rng)
@@ -418,6 +447,7 @@ def train(
             pending_metrics.append(metrics)
             if step_count % cfg.train.log_every_steps == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                drain_pending()
                 rate = step_count * cfg.train.batch_size / (time.time() - t_start)
                 mlog.log(step_count, samples_per_sec=rate, **m)
                 log_fn(
@@ -436,9 +466,7 @@ def train(
             if max_steps is not None and step_count >= max_steps:
                 break
         if n_batches:
-            for g in jax.device_get(pending_metrics):
-                for k in accum:
-                    accum[k] += float(g[k])
+            drain_pending()
             last_metrics = {k: v / n_batches for k, v in accum.items()}
             new_lr = scheduler.step(last_metrics["loss"])
             state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))

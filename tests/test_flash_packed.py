@@ -62,6 +62,22 @@ class TestPackedForward:
         want = np.asarray(_packed_via_reference(q, k, v, h))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    def test_twelve_heads_two_lane_blocks(self, rng):
+        """dm=768 (n_pairs=2): two FWD_LANE_BLOCK=384 head groups per batch
+        row, exercising the non-trivial head-group index map. Interpret mode
+        validates indexing/math only — Mosaic lane/layout constraints of the
+        384-lane block are covered on real hardware by bench.py / the v5e
+        runs logged in docs/PERF.md."""
+        b, h, dh, t = 1, 12, 64, 300
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention_packed(q, k, v, h, seq_len=t))
+        want = np.asarray(_packed_via_reference(q, k, v, h))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
 
 class TestPackedFallback:
     def test_odd_head_count_falls_back(self, rng):

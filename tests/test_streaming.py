@@ -110,3 +110,10 @@ class TestResumeAndWeights:
         np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
         # classes absent from data get the highest weight
         assert w.min() > 0
+        # bounded startup: the even-stride sample must agree with the full
+        # pass when max_sequences >= len(seqs), and a strict subsample must
+        # still produce a valid normalised weight vector
+        w_full = compute_intention_class_weights(seqs, loader, max_sequences=None)
+        np.testing.assert_allclose(w, w_full, atol=1e-6)
+        w_sub = compute_intention_class_weights(seqs, loader, max_sequences=2)
+        assert w_sub.shape == (8,) and abs(float(w_sub.sum()) - 1.0) < 1e-5
