@@ -1,14 +1,22 @@
 """End-to-end throughput benchmark: BEV frames/sec/chip.
 
-Measures the full per-frame inference path on the flagship IntentNetViT —
-device voxelization of packed multi-sweep LiDAR + twin ViT-S/8 forward +
-decode + NMS — as ONE jitted program, bf16 compute, on whatever backend is
-available (the driver runs this on a real TPU chip).
+Measures the full per-frame inference path — device voxelization of packed
+multi-sweep LiDAR + backbone forward + decode + NMS — as ONE jitted
+program, bf16 compute, on whatever backend is available (the driver runs
+this on a real TPU chip).
 
-Prints one JSON line:
+Prints one JSON line per benched mode; the FLAGSHIP (IntentNetViT) line is
+always LAST so drivers that parse the final line record the headline:
   {"metric": "bev_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
    "vs_baseline": N / 2000.0}
 (north star >= 2000 frames/s/chip e2e, BASELINE.json).
+
+Modes:
+  python bench.py                 # CNN line, then flagship ViT line
+  python bench.py --model cnn     # CNN only
+  python bench.py --model vit     # flagship only
+  python bench.py --int8          # adds the measured-negative W8A8 ViT line
+                                  # (kept driver-capturable round over round)
 """
 
 from __future__ import annotations
@@ -22,19 +30,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_bench(batch_size: int, points_per_sweep: int, int8: bool = False):
-    from intentbev.configs import default_vit_config
+def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
+                int8: bool = False):
+    from intentbev.configs import default_cnn_config, default_vit_config
     from intentbev.boxes.anchors import generate_anchors
     from intentbev.boxes.nms import batched_postprocess
     from intentbev.bev.voxelize import voxelize_packed
-    from intentbev.models import IntentNetViT
+    from intentbev.models import IntentNetCNN, IntentNetViT
 
-    cfg = default_vit_config()
     on_tpu = jax.default_backend() == "tpu"
-    vit_cfg = dataclasses.replace(
-        cfg.vit, use_flash_attention=on_tpu, serving_int8=int8
-    )
-    model = IntentNetViT(vit_cfg, cfg.heads, dtype=jnp.bfloat16)
+    if model_name == "vit":
+        cfg = default_vit_config()
+        vit_cfg = dataclasses.replace(
+            cfg.vit, use_flash_attention=on_tpu, serving_int8=int8
+        )
+        model = IntentNetViT(vit_cfg, cfg.heads, dtype=jnp.bfloat16)
+    else:
+        cfg = default_cnn_config()
+        model = IntentNetCNN(cfg.cnn, cfg.heads, dtype=jnp.bfloat16)
     g = cfg.grid
 
     lidar0 = jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels), jnp.float32)
@@ -84,14 +97,10 @@ def build_bench(batch_size: int, points_per_sweep: int, int8: bool = False):
     return infer, args
 
 
-def main():
-    import sys
-
-    int8 = "--int8" in sys.argv  # W8A8 serving mode (configs.serving_int8)
-    batch_size = 8
-    points_per_sweep = 16384
-    infer, args = build_bench(batch_size, points_per_sweep, int8=int8)
-
+def run_mode(metric: str, model_name: str, int8: bool = False,
+             batch_size: int = 8, points_per_sweep: int = 16384) -> None:
+    infer, args = build_bench(batch_size, points_per_sweep,
+                              model_name=model_name, int8=int8)
     variables, points, points_valid, map_bev = args
 
     # compile + warmup
@@ -107,11 +116,32 @@ def main():
 
     frames_per_sec = batch_size * iters / dt
     print(json.dumps({
-        "metric": "bev_frames_per_sec_per_chip",
+        "metric": metric,
         "value": round(frames_per_sec, 2),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / 2000.0, 4),
-    }))
+    }), flush=True)
+
+
+def main():
+    import sys
+
+    int8 = "--int8" in sys.argv  # W8A8 serving mode (configs.serving_int8)
+    model = None
+    if "--model" in sys.argv:
+        model = sys.argv[sys.argv.index("--model") + 1]
+
+    if model == "cnn":
+        run_mode("bev_frames_per_sec_per_chip_cnn", "cnn")
+        return
+    if int8:
+        run_mode("bev_frames_per_sec_per_chip_int8", "vit", int8=True)
+        if model == "vit":
+            return
+    if model is None:
+        # secondary lines first; flagship LAST (drivers parse the last line)
+        run_mode("bev_frames_per_sec_per_chip_cnn", "cnn")
+    run_mode("bev_frames_per_sec_per_chip", "vit")
 
 
 if __name__ == "__main__":

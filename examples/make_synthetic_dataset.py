@@ -27,57 +27,127 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from intentbev.data.synthetic import write_synthetic_log  # noqa: E402
+from intentbev.data.synthetic import multi_lane_map_data, write_synthetic_log  # noqa: E402
 from intentbev.precompute_labels import run as precompute_run  # noqa: E402
 
 
-def scripted_vehicles(rng: np.random.Generator, n: int = 10) -> list[dict]:
-    """A scene mix covering the intent taxonomy; positions ride alongside
-    the ego corridor (ego moves +x at 5 m/s; BEV covers x in [-20, 60],
-    y in [-72, 72] ego-relative)."""
+def scripted_vehicles(
+    rng: np.random.Generator, crosswalk_x: float
+) -> list[dict]:
+    """A scene mix covering the intent taxonomy with SEPARABLE cues for
+    every class (ego moves +x at 5 m/s; BEV covers x in [-20, 60],
+    y in [-72, 72] ego-relative; map = ``multi_lane_map_data``: 4 lanes
+    with centers y in {+-1.75, +-5.25}, fills covering |y| <= 7).
+
+    Class-cue design (what the MODEL can see in the 10-sweep BEV + map):
+    - KEEP_LANE: fast in-lane movers, long motion smear across sweeps.
+    - PARKED (off-lane): |y| in [8.8, 10.5] — outside every lane fill in
+      the map stream — zero motion smear. Plus one stopped-in-lane car
+      (the heuristic labels any fully-stopped car PARKED, reference
+      heuristic_labeling.py:54-55), so PARKED must be learned from the
+      zero-motion cue, with the map cue as support.
+    - STOPPING: gentle decelerations (a = v0^2/2d chosen to stop 1.5-3 m
+      short of the crosswalk) — the labeler's STOPPING band (future
+      displacement in [0.5, 1.5] m at future avg speed < 0.5 m/s,
+      heuristic thresholds) then covers ~1 s of track instead of the
+      ~0.4 s a hard 2-5 m/s^2 stop gives; the visible cues are a short
+      motion smear + proximity to the crosswalk channel.
+    - TURN / LANE_CHANGE: yaw-rate-integrated curved tracks (>20 deg and
+      5-20 deg heading change over the 3 s horizon respectively).
+    """
     vehicles: list[dict] = []
 
-    def lane_y():
-        return float(rng.choice([-7.0, -3.5, 0.0, 3.5, 7.0])) + float(rng.normal(0, 0.3))
-
-    behaviors = [
-        "keep_lane", "keep_lane", "keep_lane",
-        "parked", "parked",
-        "stopping",
-        "turn_left", "turn_right",
-        "lane_change_left", "lane_change_right",
-    ]
-    for b in rng.permutation(behaviors)[:n]:
-        x0 = float(rng.uniform(5.0, 45.0))
-        y0 = lane_y()
-        speed = float(rng.uniform(3.0, 8.0))
-        if b == "keep_lane":
-            vehicles.append({"start": (x0, y0), "velocity": (speed, 0.0), "yaw": 0.0})
-        elif b == "parked":
-            vehicles.append({"start": (x0, float(rng.choice([-9.0, 9.0]))),
-                             "velocity": (0.0, 0.0), "yaw": 0.0})
-        elif b == "stopping":
-            vehicles.append({"start": (x0, y0), "velocity": (speed, 0.0),
-                             "yaw": 0.0, "accel": -max(2.0, speed / 1.5)})
-        elif b in ("turn_left", "turn_right"):
-            sign = 1.0 if b == "turn_left" else -1.0
-            # >20 deg heading change within the 3 s horizon -> TURN_*
-            vehicles.append({"start": (x0, y0), "velocity": (speed, 0.0),
-                             "yaw": 0.0, "yaw_rate": sign * float(rng.uniform(0.25, 0.45))})
+    def center_y(side: str = "any") -> float:
+        if side == "fwd":
+            choices = [1.75, 5.25]
+        elif side == "onc":
+            choices = [-1.75, -5.25]
         else:
-            sign = 1.0 if b.endswith("left") else -1.0
-            # 5-20 deg drift over the horizon -> LANE_CHANGE_*
-            vehicles.append({"start": (x0, y0), "velocity": (speed, 0.0),
-                             "yaw": 0.0, "yaw_rate": sign * float(rng.uniform(0.05, 0.10))})
+            choices = [1.75, 5.25, -1.75, -5.25]
+        return float(rng.choice(choices)) + float(rng.normal(0, 0.15))
+
+    # 4 forward keep-lane movers
+    for _ in range(4):
+        vehicles.append({
+            "start": (float(rng.uniform(5.0, 50.0)), center_y("fwd")),
+            "velocity": (float(rng.uniform(3.0, 8.0)), 0.0), "yaw": 0.0,
+        })
+    # 2 oncoming keep-lane movers (heading -x in the y<0 lanes)
+    for _ in range(2):
+        v = float(rng.uniform(3.0, 8.0))
+        vehicles.append({
+            "start": (float(rng.uniform(35.0, 55.0)), center_y("onc")),
+            "velocity": (-v, 0.0), "yaw": float(np.pi),
+        })
+    # 2 parked off-lane (curbside rows, outside the lane fills)
+    for _ in range(2):
+        side = float(rng.choice([-1.0, 1.0]))
+        vehicles.append({
+            "start": (float(rng.uniform(5.0, 45.0)),
+                      side * float(rng.uniform(8.8, 10.5))),
+            "velocity": (0.0, 0.0),
+            "yaw": 0.0 if side > 0 else float(np.pi),
+        })
+    # 1 stopped-in-lane (zero motion, in-lane -> also PARKED per heuristic)
+    vehicles.append({
+        "start": (float(rng.uniform(10.0, 45.0)), center_y()),
+        "velocity": (0.0, 0.0), "yaw": 0.0,
+    })
+    # 3 stopping: gentle decel to a halt 1.5-3 m short of the crosswalk
+    for i in range(3):
+        v0 = float(rng.uniform(1.6, 2.6))
+        d = float(rng.uniform(2.0, 4.0))      # distance to stop point
+        gap = float(rng.uniform(1.5, 3.0))    # halt short of the crosswalk
+        if i < 2:  # forward lanes, approaching from -x
+            vehicles.append({
+                "start": (crosswalk_x - d - gap, center_y("fwd")),
+                "velocity": (v0, 0.0), "yaw": 0.0,
+                "accel": -(v0 * v0) / (2.0 * d),
+            })
+        else:      # oncoming lane, approaching from +x
+            vehicles.append({
+                "start": (crosswalk_x + 2.5 + d + gap, center_y("onc")),
+                "velocity": (-v0, 0.0), "yaw": float(np.pi),
+                "accel": -(v0 * v0) / (2.0 * d),
+            })
+    # 2 turners (>20 deg heading change within the 3 s horizon)
+    for sign in (1.0, -1.0):
+        vehicles.append({
+            "start": (float(rng.uniform(10.0, 45.0)), center_y("fwd")),
+            "velocity": (float(rng.uniform(3.0, 6.0)), 0.0), "yaw": 0.0,
+            "yaw_rate": sign * float(rng.uniform(0.25, 0.45)),
+        })
+    # 2 lane changers (5-20 deg drift over the horizon)
+    for sign in (1.0, -1.0):
+        vehicles.append({
+            "start": (float(rng.uniform(5.0, 45.0)), center_y("fwd")),
+            "velocity": (float(rng.uniform(4.0, 8.0)), 0.0), "yaw": 0.0,
+            "yaw_rate": sign * float(rng.uniform(0.05, 0.10)),
+        })
     return vehicles
+
+
+def ego_profile(rng: np.random.Generator, mode: str, num_frames: int,
+                ego_speed: float = 5.0) -> np.ndarray:
+    """Per-frame ego x positions. ``stopped``: red light — ego stationary at
+    x=0 the whole log, so ego frame == world frame and the heuristic's
+    ego-relative labels (see data.synthetic.write_synthetic_log) equal the
+    scripted absolute behaviors. ``cruise``: constant-velocity ego — labels
+    pick up the reference's ego-relative semantics (a same-speed car labels
+    PARKED, a truly parked car labels as moving), which is EXACTLY the
+    noise real AV2 labels carry; kept as a minority so training still sees
+    it and multi-sweep ego-compensation stays exercised."""
+    if mode == "stopped":
+        return np.zeros(num_frames)
+    return np.arange(num_frames) * 0.1 * ego_speed
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", required=True)
-    p.add_argument("--train_logs", type=int, default=6)
-    p.add_argument("--val_logs", type=int, default=2)
-    p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--train_logs", type=int, default=10)
+    p.add_argument("--val_logs", type=int, default=3)
+    p.add_argument("--frames", type=int, default=50)
     p.add_argument("--points", type=int, default=30000,
                    help="LiDAR points per sweep (real AV2 is ~100k)")
     p.add_argument("--seed", type=int, default=0)
@@ -91,15 +161,33 @@ def main(argv=None):
         for i in range(count):
             seed = args.seed * 1000 + (0 if split == "train" else 500) + i
             rng = np.random.default_rng(seed)
+            # ~2/3 stopped, ~1/3 cruise ego (see ego_profile docstring);
+            # the pattern puts both modes in every split
+            mode = "stopped" if i % 3 < 2 else "cruise"
+            if mode == "stopped":
+                crosswalk_x = float(rng.uniform(10.0, 20.0))
+            else:
+                crosswalk_x = float(rng.uniform(25.0, 45.0))
+            vehicles = scripted_vehicles(rng, crosswalk_x)
+            if mode == "cruise":
+                # one co-mover at ego speed: zero relative motion, the
+                # ego-relative heuristic labels it PARKED — a visually
+                # consistent example of the reference's label semantics
+                vehicles.append({
+                    "start": (float(rng.uniform(8.0, 25.0)), 1.75),
+                    "velocity": (5.0, 0.0), "yaw": 0.0,
+                })
             log_dir = write_synthetic_log(
                 split_dir,
                 log_id=f"{split}log{i:04d}aaaaaaaa",
                 num_frames=args.frames,
                 points_per_sweep=args.points,
                 seed=seed,
-                vehicles=scripted_vehicles(rng),
+                vehicles=vehicles,
+                map_data=multi_lane_map_data(crosswalk_x=crosswalk_x),
+                ego_xs=ego_profile(rng, mode, args.frames),
             )
-            print(f"wrote {log_dir}", flush=True)
+            print(f"wrote {log_dir} ({mode})", flush=True)
     print(f"logs written in {time.time()-t0:.1f}s; precomputing intent labels...",
           flush=True)
     precompute_run(str(root), ["train", "val"], force=True)

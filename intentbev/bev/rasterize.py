@@ -234,3 +234,38 @@ def rasterize_map_ego_centric(
             fill_polygon(out[3], px)
 
     return np.transpose(out, (1, 2, 0)).astype(out_dtype)
+
+
+# --- Map transport bit-packing -------------------------------------------
+# The 9 map channels are strictly binary (every channel above is a 0/1
+# draw), so the host->device transport packs them 8-per-byte: u8[H, W, 9]
+# -> u8[H, W, 2], cutting the dominant per-batch H2D tensor 4.5x (batch-8
+# full grid: 20.7 MB -> 4.6 MB). The device unpack is a handful of
+# elementwise shifts that XLA fuses into the map stream's first consumer.
+# (The reference ships nothing — its rasterizer output stays host-side,
+# utils.py:108-182; transport compression is a TPU-pipeline concern.)
+
+def pack_map_channels(map_bev: np.ndarray) -> np.ndarray:
+    """Binary u8/bool[..., C] -> u8[..., ceil(C/8)] (MSB-first, like
+    np.packbits). Values must be exactly 0/1."""
+    return np.packbits(map_bev.astype(bool), axis=-1)
+
+
+def unpack_map_channels(packed, num_channels: int, dtype):
+    """Device-side inverse of ``pack_map_channels``: u8[..., ceil(C/8)]
+    -> ``dtype``[..., C]. Pure jnp; fuses under jit."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB-first
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+    return bits[..., :num_channels].astype(dtype)
+
+
+def decode_map_transport(map_bev, num_channels: int, dtype):
+    """Accept any map transport encoding and return ``dtype``[..., C]:
+    bit-packed u8 (channel dim == ceil(C/8)), plain u8 0/1, or float."""
+    if (map_bev.dtype == np.uint8 and num_channels > 1
+            and map_bev.shape[-1] == (num_channels + 7) // 8):
+        return unpack_map_channels(map_bev, num_channels, dtype)
+    return map_bev.astype(dtype)

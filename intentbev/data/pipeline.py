@@ -29,11 +29,13 @@ from .argoverse import ArgoverseSampleLoader, Sample, SequenceInfo
 class Batch(NamedTuple):
     # points/map_bev use compact TRANSPORT dtypes: the batch crosses
     # host->device every step, so bytes are the cost (i16 cm points +
-    # u8 binary map cut the ~125 MB f32 batch-8 to ~42 MB). Device
-    # consumers dequantize/cast first (bev.voxelize.dequantize_points).
+    # bit-packed binary map cut the ~125 MB f32 batch-8 to ~23 MB). Device
+    # consumers decode first (bev.voxelize.dequantize_points,
+    # bev.rasterize.decode_map_transport).
     points: np.ndarray        # i16[B, S, P, 4] xyz in cm, intensity raw
     points_valid: np.ndarray  # bool[B, S, P]
-    map_bev: np.ndarray       # u8[B, H, W, 9] (f32 on the city-raster path)
+    map_bev: np.ndarray       # u8[B, H, W, ceil(9/8)=2] bit-packed
+    #                           (f32 [B, H, W, 9] on the city-raster path)
     gt_boxes: np.ndarray      # f32[B, G, 5]
     gt_intentions: np.ndarray  # i32[B, G]
     gt_valid: np.ndarray      # bool[B, G]
@@ -41,12 +43,16 @@ class Batch(NamedTuple):
 
 
 def _stack(samples: Sequence[Sample], aug: Sequence[np.ndarray]) -> Batch:
+    from ..bev.rasterize import pack_map_channels
     from ..bev.voxelize import quantize_points_cm
 
+    map_bev = np.stack([s.map_bev for s in samples])
+    if map_bev.dtype == np.uint8 and map_bev.shape[-1] > 1:
+        map_bev = pack_map_channels(map_bev)  # binary channels, exact
     return Batch(
         points=quantize_points_cm(np.stack([s.points for s in samples])),
         points_valid=np.stack([s.points_valid for s in samples]),
-        map_bev=np.stack([s.map_bev for s in samples]),
+        map_bev=map_bev,
         gt_boxes=np.stack([s.gt_boxes for s in samples]),
         gt_intentions=np.stack([s.gt_intentions for s in samples]),
         gt_valid=np.stack([s.gt_valid for s in samples]),

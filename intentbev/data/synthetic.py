@@ -68,6 +68,60 @@ def _integrate_track(v: dict, num_frames: int) -> np.ndarray:
     return out
 
 
+def multi_lane_map_data(
+    x_min: float = -40.0, x_max: float = 220.0, crosswalk_x: float | None = None,
+) -> dict:
+    """A 4-lane corridor map (two lanes each side of y=0, boundaries at
+    y in {-7, -3.5, 0, 3.5, 7}) with varied mark types, plus an optional
+    crosswalk spanning the roadway at ``crosswalk_x``. Richer than the
+    single-lane default map: off-lane positions (|y| > 7) are visibly
+    outside every lane fill in the rasterized BEV, giving parked vehicles
+    a map-stream cue, and lane centers sit at y in {+-1.75, +-5.25}."""
+    xs = np.arange(x_min, x_max, 5.0)
+
+    def boundary(yy):
+        return [{"x": float(x), "y": float(yy), "z": 0.0} for x in xs]
+
+    def lane(lid, left_y, right_y, left_mark, right_mark):
+        return {
+            "id": lid,
+            "is_intersection": False,
+            "lane_type": "VEHICLE",
+            "left_lane_boundary": boundary(left_y),
+            "right_lane_boundary": boundary(right_y),
+            "left_lane_mark_type": left_mark,
+            "right_lane_mark_type": right_mark,
+            "successors": [],
+            "predecessors": [],
+        }
+
+    map_data = {
+        "lane_segments": {
+            "101": lane(101, 3.5, 0.0, "DASHED_WHITE", "SOLID_YELLOW"),
+            "102": lane(102, 7.0, 3.5, "SOLID_WHITE", "DASHED_WHITE"),
+            "103": lane(103, 0.0, -3.5, "SOLID_YELLOW", "DASHED_WHITE"),
+            "104": lane(104, -3.5, -7.0, "DASHED_WHITE", "SOLID_WHITE"),
+        },
+        "pedestrian_crossings": {},
+        "drivable_areas": {},
+    }
+    if crosswalk_x is not None:
+        cw = float(crosswalk_x)
+        map_data["pedestrian_crossings"]["200"] = {
+            "id": 200,
+            "polygon": [
+                {"x": cw, "y": -8.0, "z": 0.0},
+                {"x": cw + 2.5, "y": -8.0, "z": 0.0},
+                {"x": cw + 2.5, "y": 8.0, "z": 0.0},
+                {"x": cw, "y": 8.0, "z": 0.0},
+            ],
+            "edge1": [{"x": cw, "y": -8.0, "z": 0.0}, {"x": cw, "y": 8.0, "z": 0.0}],
+            "edge2": [{"x": cw + 2.5, "y": -8.0, "z": 0.0},
+                      {"x": cw + 2.5, "y": 8.0, "z": 0.0}],
+        }
+    return map_data
+
+
 def write_synthetic_log(
     root: str | Path,
     log_id: str | None = None,
@@ -76,6 +130,8 @@ def write_synthetic_log(
     seed: int = 0,
     ego_speed: float = 5.0,
     vehicles: list[dict] | None = None,
+    map_data: dict | None = None,
+    ego_xs: np.ndarray | None = None,
 ) -> Path:
     """Create one synthetic log; returns its directory.
 
@@ -85,6 +141,19 @@ def write_synthetic_log(
     actually curve) and ``accel`` (m/s^2 along heading, clamped at 0 speed;
     gives STOPPING tracks). Defaults to two cars: one keeping lane ahead of
     ego, one parked to the side.
+
+    ``map_data``: optional full log-map-archive dict (lane_segments /
+    pedestrian_crossings / drivable_areas) replacing the default
+    single-lane map — see ``multi_lane_map_data``.
+
+    ``ego_xs``: optional per-frame ego x positions (world frame, y=0,
+    yaw=0) overriding the default constant-velocity ego. A (mostly)
+    stationary ego matters for label quality: AV2 annotations are
+    ego-frame per timestamp and the heuristic labeler consumes them
+    as-is (reference preprocess_intent_labels.py:46-48,
+    heuristic_labeling.py:40-46), so labels encode ego-RELATIVE motion;
+    with the ego stopped, relative == absolute and the scripted class
+    cues survive labeling intact.
     """
     import pandas as pd
 
@@ -100,8 +169,13 @@ def write_synthetic_log(
     ts0 = 315_970_000_000_000_000
     timestamps = [ts0 + i * dt_ns for i in range(num_frames)]
 
-    # --- ego poses: straight along world +x
-    poses = [_pose_row(ts, ego_speed * i * 0.1, 0.0, 0.0) for i, ts in enumerate(timestamps)]
+    # --- ego poses: straight along world +x (or the scripted ego_xs)
+    if ego_xs is None:
+        ego_xs = np.array([ego_speed * i * 0.1 for i in range(num_frames)])
+    else:
+        ego_xs = np.asarray(ego_xs, dtype=np.float64)
+        assert len(ego_xs) == num_frames
+    poses = [_pose_row(ts, ego_xs[i], 0.0, 0.0) for i, ts in enumerate(timestamps)]
     pd.DataFrame(poses).to_feather(log_dir / "city_SE3_egovehicle.feather")
 
     # --- vehicles
@@ -131,7 +205,7 @@ def write_synthetic_log(
                 "qz": float(np.sin(yaw / 2)),
                 # annotations are in the ego frame at each timestamp (AV2
                 # convention; reference utils.py:204-216 uses them directly)
-                "tx_m": float(x - ego_pos(i, ego_speed)[0]),
+                "tx_m": float(x - ego_xs[i]),
                 "ty_m": float(y),
                 "tz_m": 0.5,
                 "num_interior_pts": 50,
@@ -142,7 +216,7 @@ def write_synthetic_log(
     # shifted into per-sweep ego frame; reference transforms sweeps between
     # ego frames via poses, dataset.py:298-341)
     for i, ts in enumerate(timestamps):
-        ex, _ = ego_pos(i, ego_speed)
+        ex = float(ego_xs[i])
         ground = np.stack([
             rng.uniform(-20, 60, points_per_sweep // 2),
             rng.uniform(-40, 40, points_per_sweep // 2),
@@ -172,12 +246,13 @@ def write_synthetic_log(
         })
         df.to_feather(lidar_dir / f"{ts}.feather")
 
-    # --- map: one straight lane along world x + a crosswalk
+    # --- map: one straight lane along world x + a crosswalk (default),
+    # or the caller-provided map_data
     xs = np.arange(-30.0, 120.0, 5.0)
     def boundary(yy):
         return [{"x": float(x), "y": float(yy), "z": 0.0} for x in xs]
 
-    map_data = {
+    map_data = map_data or {
         "lane_segments": {
             "100": {
                 "id": 100,

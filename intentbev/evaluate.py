@@ -41,6 +41,7 @@ from .metrics import (
     match_intentions,
     sample_average_precision,
 )
+from .bev.rasterize import decode_map_transport
 from .bev.voxelize import dequantize_points, voxelize_packed
 from .models import build_model
 
@@ -68,7 +69,8 @@ def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray,
             dequantize_points(batch["points"]), batch["points_valid"]
         )
         cls_l, box_d, int_l = model.apply(
-            variables, lidar, batch["map_bev"].astype(lidar.dtype)
+            variables, lidar,
+            decode_map_transport(batch["map_bev"], grid.map_channels, lidar.dtype),
         )
         det = batched_postprocess(
             cls_l, box_d, int_l, anchors,

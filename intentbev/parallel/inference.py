@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..bev.rasterize import decode_map_transport
 from ..bev.voxelize import dequantize_points, voxelize_packed
 from ..boxes.anchors import generate_anchors
 from ..boxes.nms import Detections, batched_postprocess
@@ -48,7 +49,8 @@ class StreamingInferencer:
                 dequantize_points(points), points_valid
             )
             cls_l, box_d, int_l = self.model.apply(
-                variables, lidar, map_bev.astype(lidar.dtype)
+                variables, lidar,
+                decode_map_transport(map_bev, grid.map_channels, lidar.dtype),
             )
             return batched_postprocess(
                 cls_l, box_d, int_l, anchors,

@@ -31,6 +31,7 @@ import numpy as np
 import optax
 
 from .bev.augment import batched_augment_bev
+from .bev.rasterize import decode_map_transport
 from .bev.voxelize import dequantize_points, voxelize_packed
 from .boxes.anchors import generate_anchors
 from .checkpoint import save_checkpoint
@@ -178,10 +179,11 @@ def _augmented_inputs(batch, rng_aug, aug_cfg, grid, compute_dtype):
     """
     from .bev.augment import augment_points_gt, dropout_keep_mask
 
-    # transport decode: u8 map -> compute dtype, i16 cm points -> f32
-    # (bev.voxelize transport encoding — the batch crosses host->device
-    # every step, so it ships in compact dtypes). No-op for f32 callers.
-    map_in = batch["map_bev"].astype(compute_dtype)
+    # transport decode: bit-packed/u8 map -> compute dtype, i16 cm points
+    # -> f32 (bev.voxelize / bev.rasterize transport encodings — the batch
+    # crosses host->device every step, so it ships in compact dtypes).
+    # No-op for f32 callers.
+    map_in = decode_map_transport(batch["map_bev"], grid.map_channels, compute_dtype)
     points_in = dequantize_points(batch["points"])
     if "aug_params" in batch:
         pts, gt_boxes, gt_intents = jax.vmap(augment_points_gt)(

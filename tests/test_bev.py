@@ -347,3 +347,25 @@ class TestPointSpaceAugment:
         assert p[:, 2].min() >= 0.95 - 1e-6 and p[:, 2].max() <= 1.05 + 1e-6
         id_rows = (p[:, 0] == 1) & (p[:, 1] == 0) & (p[:, 2] == 1)
         assert id_rows.mean() > 0.05  # identity rows exist
+
+
+class TestMapTransport:
+    """Bit-packed map transport (bev.rasterize.pack/unpack_map_channels)."""
+
+    def test_pack_unpack_roundtrip(self, rng):
+        import jax.numpy as jnp
+        from intentbev.bev.rasterize import (
+            decode_map_transport, pack_map_channels, unpack_map_channels)
+
+        m = (rng.uniform(0, 1, (2, 16, 24, 9)) < 0.3).astype(np.uint8)
+        packed = pack_map_channels(m)
+        assert packed.shape == (2, 16, 24, 2) and packed.dtype == np.uint8
+        out = np.asarray(unpack_map_channels(jnp.asarray(packed), 9, jnp.float32))
+        np.testing.assert_array_equal(out, m.astype(np.float32))
+        # decode dispatch: packed u8 -> unpack; plain u8 and f32 -> cast
+        np.testing.assert_array_equal(
+            np.asarray(decode_map_transport(jnp.asarray(packed), 9, jnp.float32)), m)
+        np.testing.assert_array_equal(
+            np.asarray(decode_map_transport(jnp.asarray(m), 9, jnp.float32)), m)
+        np.testing.assert_array_equal(
+            np.asarray(decode_map_transport(jnp.asarray(m, jnp.float32), 9, jnp.float32)), m)
