@@ -136,8 +136,16 @@ def voxelize_packed(
     flat = jnp.where(ok, flat, h * w * c)  # out-of-range -> dropped
 
     bev = jnp.zeros((h * w * c,), dtype=out_dtype)
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        # integer target (u8 serving path: AV2 intensity is integral 0-255,
+        # so a u8 BEV is exact and halves the scatter target + downstream
+        # reads vs bf16); invalid points are dropped by INDEX above, so
+        # their update value just needs to be in-range
+        upd = jnp.clip(jnp.round(inten), 0, jnp.iinfo(out_dtype).max)
+    else:
+        upd = jnp.where(ok, inten, -jnp.inf)
     bev = bev.at[flat.reshape(-1)].max(
-        jnp.where(ok, inten, -jnp.inf).reshape(-1).astype(out_dtype), mode="drop"
+        upd.reshape(-1).astype(out_dtype), mode="drop"
     )
     return bev.reshape(h, w, c)
 

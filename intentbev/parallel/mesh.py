@@ -44,6 +44,35 @@ def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     return Mesh(arr, (cfg.data_axis, cfg.model_axis))
 
 
+def shard_sequences_for_process(
+    sequences, process_index: int, process_count: int, global_batch_size: int,
+) -> tuple[list, int]:
+    """Pure multi-host input sharding: which sequences THIS process loads.
+
+    Round-robin shard (process p takes sequences[p::n]) truncated to a
+    common per-process length so every process runs the same number of
+    steps — a straggler running extra steps would deadlock the collectives.
+    Returns (local_sequences, local_batch_size). The reference has no
+    distributed input path at all (SURVEY.md §2.2); this is the per-host
+    pipeline half of the DCN design, kept pure so it is unit-testable
+    without faking ``jax.process_count``.
+    """
+    if process_count < 1:
+        raise ValueError(f"process_count must be >= 1, got {process_count}")
+    if not 0 <= process_index < process_count:
+        raise ValueError(
+            f"process_index {process_index} out of range [0, {process_count})"
+        )
+    if global_batch_size % process_count != 0:
+        raise ValueError(
+            f"batch_size {global_batch_size} not divisible by "
+            f"process_count {process_count}"
+        )
+    per_proc = len(sequences) // process_count
+    local = list(sequences[process_index::process_count])[:per_proc]
+    return local, global_batch_size // process_count
+
+
 def local_batch_slice(global_batch, mesh: Mesh, cfg: MeshConfig):
     """Build a globally-sharded batch from per-process local data.
 

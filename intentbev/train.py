@@ -371,23 +371,18 @@ def train(
         nproc = jax.process_count()
         if nproc > 1:
             # Multi-host DCN: each process loads only ITS slice of the
-            # global batch; local_batch_slice assembles the global sharded
-            # array via jax.make_array_from_process_local_data. Sequences
-            # are round-robin sharded and truncated to a common per-process
-            # length so all processes run the same number of steps (a
-            # straggler would deadlock the collectives). Caveat: a process
+            # global batch (parallel.mesh.shard_sequences_for_process);
+            # local_batch_slice assembles the global sharded array via
+            # jax.make_array_from_process_local_data. Caveat: a process
             # whose loader DROPS a failed sample mid-epoch still desyncs —
             # real-data multi-host runs should precompute labels so loads
             # are infallible.
-            if cfg.train.batch_size % nproc != 0:
-                raise ValueError(
-                    f"batch_size {cfg.train.batch_size} not divisible by "
-                    f"process_count {nproc}"
-                )
-            local_batch_size = cfg.train.batch_size // nproc
-            per_proc = len(sequences) // nproc
+            from .parallel.mesh import shard_sequences_for_process
+
             pid = jax.process_index()
-            local_sequences = sequences[pid::nproc][:per_proc]
+            local_sequences, local_batch_size = shard_sequences_for_process(
+                sequences, pid, nproc, cfg.train.batch_size
+            )
             log_fn(
                 f"multi-host: process {pid}/{nproc}, "
                 f"{len(local_sequences)} local sequences, "
