@@ -11,10 +11,18 @@ can fuse into the train step, or run on host via numpy.
 Numerics caveat (documented in SURVEY): warping a pre-drawn raster differs
 from re-drawing rotated polygons along boundaries. Fill channels
 (drivable/intersection/bus/crosswalk) agree at ~0.87-0.95 channel-IoU;
-the 1-px POLYLINE channels (boundaries, markings) can shift by +-1 px
-under half-pixel resampling, which zeroes their strict IoU while remaining
-visually adjacent. Use the fast path for training-time map features; keep
-the direct path (default) for reference-parity evaluation.
+the 1-px POLYLINE channels (boundaries, markings) shift by +-1 px under
+half-pixel resampling — a 0.5 threshold ZEROES them (a 1-px line bilinear-
+resampled at a half-pixel offset peaks at 0.25-0.5), so polyline channels
+use a 0.25 threshold (tested: non-empty and within 1 px of the direct
+draw, at the cost of lines dilating to 1-2 px).
+
+STATUS: the TRUSTED fast path is now exact per-pose visibility culling in
+``rasterize_map_ego_centric`` (cull=True, bitwise-identical, default
+everywhere). This module remains the *approximate* alternative whose value
+is the DEVICE-side warp (``warp_city_to_ego_device``): ship one city
+raster per log and generate every ego-centric map on the TPU — relevant
+for streaming inference where host raster time is the bottleneck.
 """
 
 from __future__ import annotations
@@ -34,6 +42,20 @@ class CityRaster:
     origin_xy: tuple[float, float]  # world coords of pixel (row 0, col 0)
     voxel_size: float
     # city pixel convention: col = (x - origin_x)/voxel, row = (y - origin_y)/voxel
+
+
+_POLYLINE_CHANNELS = (1, 2, 6, 7, 8)
+
+
+def _channel_thresholds(fill_threshold: float) -> np.ndarray:
+    """[9] per-channel binarization thresholds: fills at ``fill_threshold``
+    (default 0.5), 1-px polyline channels at half of it — bilinear
+    resampling of a 1-px line at a half-pixel offset peaks at 0.25-0.5, so
+    a 0.5 threshold erases the line entirely (the round-2 defect that kept
+    this path off by default)."""
+    t = np.full(9, fill_threshold, dtype=np.float32)
+    t[list(_POLYLINE_CHANNELS)] = fill_threshold / 2.0
+    return t
 
 
 def build_city_raster(
@@ -148,7 +170,7 @@ def warp_city_to_ego(
         + gather(r0 + 1, c0) * dr * (1 - dc)
         + gather(r0 + 1, c0 + 1) * dr * dc
     )
-    return (out >= binary_threshold).astype(np.float32)
+    return (out >= _channel_thresholds(binary_threshold)).astype(np.float32)
 
 
 def warp_city_to_ego_device(
@@ -177,4 +199,5 @@ def warp_city_to_ego_device(
     from .augment import _bilinear_sample
 
     out = _bilinear_sample(city_raster, src_row, src_col)
-    return (out >= binary_threshold).astype(jnp.float32)
+    thresh = jnp.asarray(_channel_thresholds(binary_threshold), out.dtype)
+    return (out >= thresh).astype(jnp.float32)

@@ -157,6 +157,38 @@ def draw_polyline(mask: np.ndarray, pts: np.ndarray) -> None:
 # Ego-centric rasterization (parity path)
 # ---------------------------------------------------------------------------
 
+def _element_bboxes(arrays: list) -> np.ndarray:
+    """[N, 4] (xmin, ymin, xmax, ymax) world-frame bbox per element."""
+    out = np.empty((len(arrays), 4), dtype=np.float64)
+    for i, a in enumerate(arrays):
+        if len(a):
+            out[i] = (a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max())
+        else:
+            out[i] = (np.inf, np.inf, -np.inf, -np.inf)
+    return out
+
+
+def _visible_mask(bboxes: np.ndarray, tx: float, ty: float, radius: float) -> np.ndarray:
+    """Which element bboxes intersect the disk of ``radius`` around the ego."""
+    dx = np.maximum(0.0, np.maximum(bboxes[:, 0] - tx, tx - bboxes[:, 2]))
+    dy = np.maximum(0.0, np.maximum(bboxes[:, 1] - ty, ty - bboxes[:, 3]))
+    return dx * dx + dy * dy <= radius * radius
+
+
+def _visibility_radius(grid: GridConfig, aug_linear: np.ndarray | None) -> float:
+    """Conservative world-distance bound for any vertex that can land in
+    the BEV. A vertex mapping to an in-bounds pixel has ego-metric norm
+    <= the BEV corner radius; ``aug_linear`` scales ego coords, so divide
+    by its smallest singular value. +1 m covers pixel rounding."""
+    xs = (grid.pixel_offset_y - np.array([-0.5, grid.height_px - 0.5])) * grid.voxel_size_m
+    ys = (np.array([-0.5, grid.width_px - 0.5]) - grid.pixel_offset_x) * grid.voxel_size_m
+    r = float(np.hypot(np.abs(xs).max(), np.abs(ys).max()))
+    if aug_linear is not None:
+        smin = float(np.linalg.svd(np.asarray(aug_linear, np.float64), compute_uv=False)[-1])
+        r /= max(smin, 1e-6)
+    return r + 1.0
+
+
 def _world_to_pixels(pts_world: np.ndarray, ego_tf: np.ndarray, grid: GridConfig) -> np.ndarray:
     """World xy -> rounded (col, row); in-bounds filtered (utils.py:131-144)."""
     if pts_world.shape[0] == 0:
@@ -175,6 +207,7 @@ def rasterize_map_ego_centric(
     grid: GridConfig,
     aug_linear: np.ndarray | None = None,
     out_dtype=np.float32,
+    cull: bool = True,
 ) -> np.ndarray:
     """9-channel ego-centric map raster, [H, W, 9] channels-last in
     ``out_dtype`` (f32 = reference parity, utils.py:182; uint8 is exact for
@@ -192,6 +225,14 @@ def rasterize_map_ego_centric(
     instead of bilinearly warping the finished raster (exact geometry,
     zero device cost; replaces the reference's cv2.warpAffine of the
     raster, utils.py:417-480).
+
+    ``cull``: skip lanes/crosswalks whose world bbox cannot reach the BEV
+    (bbox vs visibility disk, per-log bboxes cached on ``elements``). An
+    element with NO in-bounds vertex draws nothing (the in-bounds filter
+    above runs before polygon construction, reference utils.py:131-144),
+    so culling is EXACT — bitwise-identical output (tested) — while making
+    the per-pose cost O(visible elements), which on a full AV2 city map is
+    a small fraction of the log's lane set.
     """
     h, w = grid.height_px, grid.width_px
     out = np.zeros((grid.map_channels, h, w), dtype=np.uint8)
@@ -207,7 +248,29 @@ def rasterize_map_ego_centric(
         aug_h[:2, :2] = aug_linear
         ego_tf = aug_h @ ego_tf
 
-    for lane in elements.lanes:
+    lanes = elements.lanes
+    crosswalks = elements.crosswalks
+    if cull:
+        lane_bb = getattr(elements, "_lane_bboxes", None)
+        if lane_bb is None or len(lane_bb) != len(lanes):
+            lane_bb = _element_bboxes(
+                [np.concatenate([l.left_boundary.reshape(-1, 2),
+                                 l.right_boundary.reshape(-1, 2)]) for l in lanes]
+            )
+            elements._lane_bboxes = lane_bb
+        cw_bb = getattr(elements, "_crosswalk_bboxes", None)
+        if cw_bb is None or len(cw_bb) != len(crosswalks):
+            cw_bb = _element_bboxes(crosswalks)
+            elements._crosswalk_bboxes = cw_bb
+        radius = _visibility_radius(grid, aug_linear)
+        if len(lanes):
+            keep = _visible_mask(lane_bb, tx, ty, radius)
+            lanes = [l for l, k in zip(lanes, keep) if k]
+        if len(crosswalks):
+            keep = _visible_mask(cw_bb, tx, ty, radius)
+            crosswalks = [c for c, k in zip(crosswalks, keep) if k]
+
+    for lane in lanes:
         left_px = _world_to_pixels(lane.left_boundary, ego_tf, grid)
         right_px = _world_to_pixels(lane.right_boundary, ego_tf, grid)
 
@@ -228,7 +291,7 @@ def rasterize_map_ego_centric(
         if lane.right_mark_type in _MARK_CHANNELS and len(right_px) > 1:
             draw_polyline(out[_MARK_CHANNELS[lane.right_mark_type]], right_px)
 
-    for cw in elements.crosswalks:
+    for cw in crosswalks:
         px = _world_to_pixels(cw, ego_tf, grid)
         if len(px) >= 3:
             fill_polygon(out[3], px)
