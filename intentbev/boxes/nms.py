@@ -93,6 +93,7 @@ def postprocess_detections(
     nms_iou_threshold: float = 0.2,
     max_pre_nms: int = 1024,
     max_detections: int = 128,
+    approx_topk: bool = False,
 ) -> Detections:
     """Single-sample decode -> confidence filter -> NMS -> fixed-size output.
 
@@ -105,12 +106,24 @@ def postprocess_detections(
       box_deltas: f32[N, 6].
       intent_logits: f32[N, C].
       anchors: f32[N, 5].
+      approx_topk: use the TPU-native partial-reduction top-k
+        (jax.lax.approx_max_k) for candidate selection instead of the exact
+        sort — the serving-path choice (bench/streaming inference). In the
+        common regime (fewer than max_pre_nms anchors above the confidence
+        threshold) misses only fill slots; the parity eval CLI keeps the
+        exact sort.
     """
     scores = jax.nn.sigmoid(cls_logits.reshape(-1))
     conf_ok = scores >= confidence_threshold
     masked_scores = jnp.where(conf_ok, scores, NEG_INF)
 
-    top_scores, top_idx = jax.lax.top_k(masked_scores, max_pre_nms)
+    if approx_topk:
+        top_scores, top_idx = jax.lax.approx_max_k(
+            masked_scores, max_pre_nms, recall_target=0.95,
+            aggregate_to_topk=True,
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(masked_scores, max_pre_nms)
     top_valid = top_scores > NEG_INF / 2
 
     top_deltas = box_deltas[top_idx]

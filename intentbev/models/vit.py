@@ -223,10 +223,19 @@ class Attention(nn.Module):
         x: jnp.ndarray,
         residual: jnp.ndarray | None = None,
         gate: jnp.ndarray | None = None,
+        ln: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ) -> jnp.ndarray:
         """``residual``/``gate``: when given (TPU flash path), the output
         projection runs as a fused residual kernel — y = gate*(out W + b) +
-        residual — removing one full activation read+write per block."""
+        residual — removing one full activation read+write per block.
+
+        ``ln``: optional (scale, bias) of the PRE-attention LayerNorm
+        (norm1) to FOLD into the qkv projection: on the TPU flash path
+        qkv = LN(x) @ Wqkv runs as one Pallas kernel (ops.fused_ln_dense),
+        removing the standalone LN's extra activation read+write per block
+        (~6 ms/step of standalone norm1 at flagship scale, docs/PERF.md).
+        When ``ln`` is given, ``x`` must be the PRE-norm residual stream
+        and ``residual`` the same array."""
         b, t, d = x.shape
         head_dim = d // self.num_heads
         # NOTE on int8 serving: attention stays ENTIRELY bf16 even under
@@ -239,11 +248,30 @@ class Attention(nn.Module):
         # gate/residual adds and act-quant passes lose the XLA matmul
         # epilogue fusion the bf16 Dense path gets. ops/flash_int8.py keeps
         # the int8 kernel as the documented negative result.
-        qkv = nn.Dense(
-            3 * d, use_bias=self.qkv_bias, kernel_init=_dense_init,
-            dtype=self.dtype, name="qkv",
-        )(x)
         on_tpu = jax.default_backend() == "tpu"
+        if ln is not None and self.use_flash and on_tpu and self.qkv_bias:
+            from ..ops.fused_ln_dense import fused_ln_dense
+
+            wq, bq = _LinearParams(d, 3 * d, name="qkv")()
+            qkv = fused_ln_dense(
+                x, ln[0], ln[1], wq.astype(self.dtype), bq.astype(jnp.float32)
+            )
+        else:
+            if ln is not None:
+                # eager fold (CPU/debug/no-bias): identical math
+                xf = x.astype(jnp.float32)
+                mu = jnp.mean(xf, axis=-1, keepdims=True)
+                xc = xf - mu
+                var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+                inv = jax.lax.rsqrt(var + 1e-6).astype(self.dtype)
+                x = (
+                    xc.astype(self.dtype) * inv * ln[0].astype(self.dtype)
+                    + ln[1].astype(self.dtype)
+                )
+            qkv = nn.Dense(
+                3 * d, use_bias=self.qkv_bias, kernel_init=_dense_init,
+                dtype=self.dtype, name="qkv",
+            )(x)
         if self.use_flash and on_tpu:
             # packed kernels consume the Dense layout [B, T, H*D] directly —
             # no physical head transposes (profiled ~16 ms/step of copies
@@ -301,17 +329,29 @@ class EncoderBlock(nn.Module):
         use_gates = self.drop_path_rate > 0.0 and not deterministic
         norm_cls = PallasLayerNorm if self.fused_ln else FastLayerNorm
 
-        h = norm_cls(dtype=self.dtype, name="norm1")(x)
-        x = Attention(
+        attn = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             use_flash=self.use_flash, kv_len=self.kv_len,
             int8_serving=self.int8_serving,
             dtype=self.dtype, name="attn",
-        )(
-            h.astype(self.dtype),
-            residual=x,
-            gate=self._drop_path_gate(x) if use_gates else None,
         )
+        if self.fused_ln and self.qkv_bias and not self.int8_serving:
+            # norm1 folded into the qkv projection (ops.fused_ln_dense);
+            # params created with the same tree names as the standalone LN
+            # so checkpoints are layout-identical either way
+            gamma1, beta1 = _LNParams(d, name="norm1")()
+            x = attn(
+                x, residual=x,
+                gate=self._drop_path_gate(x) if use_gates else None,
+                ln=(gamma1, beta1),
+            )
+        else:
+            h = norm_cls(dtype=self.dtype, name="norm1")(x)
+            x = attn(
+                h.astype(self.dtype),
+                residual=x,
+                gate=self._drop_path_gate(x) if use_gates else None,
+            )
         mlp = Mlp(
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
             fused=self.fused_mlp, int8_serving=self.int8_serving,
@@ -437,14 +477,29 @@ class TwoStreamViTBackbone(nn.Module):
                 name=f"vit_{name}",
             )(x, deterministic)
             patch_tokens = tokens[:, 1:]  # strip CLS (model_vit.py:119)
-            # adapter LN -> Linear -> GELU (model_vit.py:82-83)
-            adapter_norm = PallasLayerNorm if cfg.use_fused_layernorm else FastLayerNorm
-            h = adapter_norm(dtype=self.dtype, name=f"adapter_{name}_norm")(patch_tokens)
-            h = nn.Dense(
-                cfg.adapter_out_channels, kernel_init=_dense_init,
-                dtype=self.dtype, name=f"adapter_{name}_proj",
-            )(h.astype(self.dtype))
-            h = nn.gelu(h, approximate=False)
+            # adapter LN -> Linear -> GELU (model_vit.py:82-83); on the TPU
+            # fused path all three run as ONE Pallas kernel
+            # (ops.fused_ln_dense with gelu epilogue), same param layout
+            if cfg.use_fused_layernorm and jax.default_backend() == "tpu":
+                from ..ops.fused_ln_dense import fused_ln_dense
+
+                gamma, beta = _LNParams(
+                    patch_tokens.shape[-1], name=f"adapter_{name}_norm")()
+                wa, ba = _LinearParams(
+                    patch_tokens.shape[-1], cfg.adapter_out_channels,
+                    name=f"adapter_{name}_proj")()
+                h = fused_ln_dense(
+                    patch_tokens.astype(self.dtype), gamma, beta,
+                    wa.astype(self.dtype), ba.astype(jnp.float32), gelu=True,
+                )
+            else:
+                adapter_norm = PallasLayerNorm if cfg.use_fused_layernorm else FastLayerNorm
+                h = adapter_norm(dtype=self.dtype, name=f"adapter_{name}_norm")(patch_tokens)
+                h = nn.Dense(
+                    cfg.adapter_out_channels, kernel_init=_dense_init,
+                    dtype=self.dtype, name=f"adapter_{name}_proj",
+                )(h.astype(self.dtype))
+                h = nn.gelu(h, approximate=False)
             return h.reshape(h.shape[0], gh, gw, cfg.adapter_out_channels)
 
         l_feat = process_stream(lidar_bev, "lidar")

@@ -284,3 +284,34 @@ class TestNMS:
             confidence_threshold=0.1, max_pre_nms=16, max_detections=8,
         )
         assert int(jnp.sum(det.valid)) == 0
+
+
+class TestApproxTopK:
+    def test_matches_exact_when_candidates_fit(self, rng):
+        """Serving-path approx_topk must equal the exact path whenever fewer
+        than max_pre_nms anchors pass the confidence threshold (the common
+        regime — only fill slots can differ)."""
+        from intentbev.boxes.anchors import generate_anchors
+        from intentbev.boxes.nms import postprocess_detections
+        from intentbev.configs import GridConfig, AnchorGridConfig
+
+        grid = GridConfig(height_px=64, width_px=96)
+        anchors = jnp.asarray(generate_anchors(grid, AnchorGridConfig()))
+        n = anchors.shape[0]
+        cls_logits = jnp.asarray(rng.normal(-4.0, 1.0, (n, 1)).astype(np.float32))
+        # boost a sparse subset above the confidence threshold
+        hot = rng.choice(n, size=60, replace=False)
+        cls_logits = cls_logits.at[hot, 0].set(
+            jnp.asarray(rng.uniform(1.0, 4.0, 60).astype(np.float32)))
+        box_deltas = jnp.asarray(rng.normal(0, 0.1, (n, 6)).astype(np.float32))
+        intent_logits = jnp.asarray(rng.normal(0, 1, (n, 8)).astype(np.float32))
+
+        exact = postprocess_detections(cls_logits, box_deltas, intent_logits,
+                                       anchors, max_pre_nms=256)
+        approx = postprocess_detections(cls_logits, box_deltas, intent_logits,
+                                        anchors, max_pre_nms=256, approx_topk=True)
+        np.testing.assert_array_equal(np.asarray(exact.valid), np.asarray(approx.valid))
+        np.testing.assert_allclose(np.asarray(exact.boxes_xywha),
+                                   np.asarray(approx.boxes_xywha), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(exact.intentions),
+                                      np.asarray(approx.intentions))
