@@ -226,6 +226,10 @@ class ViTBackboneConfig:
     use_flash_attention: bool = True
     use_fused_layernorm: bool = True
     use_fused_mlp: bool = True
+    # norm1 folded into the qkv matmul / adapter LN folded into its proj
+    # (ops.fused_ln_dense); independent switch so the standalone-LN path
+    # stays measurable
+    fuse_ln_dense: bool = True
     # W8A8 serving path: qkv/proj/fc1/fc2 through int8 MXU matmuls and the
     # int8 flash-attention kernel (ops.flash_int8). Inference only — the
     # model must be trained bf16/f32 and quantizes on the fly.

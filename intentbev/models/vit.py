@@ -311,6 +311,7 @@ class EncoderBlock(nn.Module):
     use_flash: bool = True
     kv_len: int | None = None
     fused_ln: bool = True
+    fuse_ln_dense: bool = True
     fused_mlp: bool = True
     int8_serving: bool = False
     dtype: Any = jnp.float32
@@ -335,7 +336,8 @@ class EncoderBlock(nn.Module):
             int8_serving=self.int8_serving,
             dtype=self.dtype, name="attn",
         )
-        if self.fused_ln and self.qkv_bias and not self.int8_serving:
+        if (self.fused_ln and self.fuse_ln_dense and self.qkv_bias
+                and not self.int8_serving):
             # norm1 folded into the qkv projection (ops.fused_ln_dense);
             # params created with the same tree names as the standalone LN
             # so checkpoints are layout-identical either way
@@ -442,6 +444,7 @@ class ViTEncoder(nn.Module):
                 use_flash=self.use_flash,
                 kv_len=real_len if t_run != real_len else None,
                 fused_ln=cfg.use_fused_layernorm,
+                fuse_ln_dense=cfg.fuse_ln_dense,
                 fused_mlp=cfg.use_fused_mlp,
                 int8_serving=cfg.serving_int8,
                 dtype=self.dtype,
@@ -480,7 +483,8 @@ class TwoStreamViTBackbone(nn.Module):
             # adapter LN -> Linear -> GELU (model_vit.py:82-83); on the TPU
             # fused path all three run as ONE Pallas kernel
             # (ops.fused_ln_dense with gelu epilogue), same param layout
-            if cfg.use_fused_layernorm and jax.default_backend() == "tpu":
+            if (cfg.use_fused_layernorm and cfg.fuse_ln_dense
+                    and jax.default_backend() == "tpu"):
                 from ..ops.fused_ln_dense import fused_ln_dense
 
                 gamma, beta = _LNParams(

@@ -277,6 +277,7 @@ def train(
     use_intention_weights: bool = False,
     resume: bool = False,
     distributed: bool = False,
+    max_points_per_sweep: int = 65536,
 ) -> dict:
     """Full training loop; returns final epoch metrics.
 
@@ -299,7 +300,8 @@ def train(
     log_fn(f"{len(scenarios)} logs, {len(sequences)} sequences")
 
     loader = ArgoverseSampleLoader(
-        cfg.grid, max_gt=cfg.loss.max_gt_boxes, verbose=False
+        cfg.grid, max_gt=cfg.loss.max_gt_boxes, verbose=False,
+        max_points_per_sweep=max_points_per_sweep,
     )
 
     intention_weights = None
@@ -489,6 +491,11 @@ def main(argv=None):
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--max_points_per_sweep", type=int, default=65536,
+                   help="per-sweep point capacity of the packed transport "
+                        "tensor (points beyond it are evenly subsampled); "
+                        "lower it to the dataset's real sweep size to cut "
+                        "host->device bytes")
     p.add_argument("--tiny-smoke", action="store_true",
                    help="tiny config for CI smoke runs on synthetic logs")
     p.add_argument("--debug_nans", action="store_true")
@@ -539,7 +546,8 @@ def main(argv=None):
     train(cfg, args.data_dir, args.out_dir,
           num_workers=args.num_workers, max_steps=args.max_steps,
           use_intention_weights=args.use_intention_weights,
-          resume=args.resume, distributed=args.distributed)
+          resume=args.resume, distributed=args.distributed,
+          max_points_per_sweep=args.max_points_per_sweep)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,25 @@ class TestVoxelizer:
         got = np.asarray(voxelize_packed(jnp.asarray(packed), jnp.asarray(valid), grid))
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_u8_out_dtype_exact_for_integral_intensity(self, rng):
+        """u8 serving target (docs/PERF.md: measured-neutral on v5e, kept
+        as a transport option): exact vs the f32 oracle when intensities
+        are integral, and invalid/out-of-range points still dropped."""
+        grid = SMALL_GRID
+        n = 400
+        pts = np.stack([
+            rng.uniform(-15, 10, n),
+            rng.uniform(-12, 12, n),
+            rng.uniform(-3, 5, n),
+        ], axis=1).astype(np.float32)
+        inten = rng.integers(0, 256, n).astype(np.float32)
+        want = voxelize_numpy([pts], [inten], grid, num_expected_sweeps=1)
+        packed, valid = pack_points([pts], [inten], 1, 512)
+        got = np.asarray(voxelize_packed(
+            jnp.asarray(packed), jnp.asarray(valid), grid,
+            out_dtype=jnp.uint8))
+        np.testing.assert_array_equal(got.astype(np.float32), want)
+
     def test_reference_semantics_hand_cases(self):
         grid = SMALL_GRID
         oy, ox = grid.pixel_offset_y, grid.pixel_offset_x  # 48, 48
