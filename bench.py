@@ -71,7 +71,6 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
             nms_iou_threshold=ev.nms_iou_threshold,
             max_pre_nms=ev.max_pre_nms,
             max_detections=ev.max_detections,
-            approx_topk=True,  # serving path: TPU partial-reduction top-k
         )
         # chain a scalar of the result back into the points so iteration i+1
         # data-depends on iteration i — guarantees every step really executes

@@ -227,9 +227,12 @@ class ViTBackboneConfig:
     use_fused_layernorm: bool = True
     use_fused_mlp: bool = True
     # norm1 folded into the qkv matmul / adapter LN folded into its proj
-    # (ops.fused_ln_dense); independent switch so the standalone-LN path
-    # stays measurable
-    fuse_ln_dense: bool = True
+    # (ops.fused_ln_dense). MEASURED NEGATIVE for inference on v5e
+    # (54.66 -> 53.96 fps): the Pallas LN+qkv runs at ~142 TFLOPS
+    # (0.229 ms/call, fine in isolation) but XLA loses adjacent epilogue
+    # fusions around the custom call, costing more than the standalone
+    # LN's 0.24 ms/call read+write. Kept as an option; off by default.
+    fuse_ln_dense: bool = False
     # W8A8 serving path: qkv/proj/fc1/fc2 through int8 MXU matmuls and the
     # int8 flash-attention kernel (ops.flash_int8). Inference only — the
     # model must be trained bf16/f32 and quantizes on the fly.

@@ -58,7 +58,6 @@ class StreamingInferencer:
                 nms_iou_threshold=ev.nms_iou_threshold,
                 max_pre_nms=ev.max_pre_nms,
                 max_detections=ev.max_detections,
-                approx_topk=True,  # serving path (parity eval keeps exact)
             )
 
         det_shard = Detections(
