@@ -45,6 +45,10 @@ FWD_LANE_BLOCK = 384      # fwd channel block: all 6 heads in one program —
                           # larger row block does
 BLOCK_Q_PK = 384          # fwd row-block (512/768 measured slower, also with wide lanes)
 BLOCK_BWD_PK = 256        # bwd row-blocks (384 measured no better)
+import os as _os
+# Online-softmax chunked forward (``_fwd_kernel_chunked``): KV tile size,
+# 0 = monolithic kernel. Env-tunable for on-chip experiments.
+FWD_KV_CHUNK = int(_os.environ.get("INTENTBEV_FWD_KV_CHUNK", "0"))
 
 
 def _heads_per_block(dh: int, lane_block: int = LANE_BLOCK) -> int:
@@ -79,8 +83,104 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, s_buf,
         l_ref[0, h] = m + jnp.log(denom)
 
 
+def _fwd_kernel_chunked(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref,
+                        s_buf, acc_buf, m_buf, d_buf,
+                        *, heads_in_block: int, scale: float, kv_chunk: int):
+    """Online-softmax forward: the key axis is processed in ``kv_chunk``
+    tiles so the instruction stream interleaves MXU work (S_{j+1} = qK^T,
+    P_j V_j) with VPU work (exp/max/sum of chunk j) at fine granularity —
+    the monolithic kernel runs score-matmul -> full softmax -> PV as three
+    serialized phases, leaving the MXU idle for the ~2/3 of the time the
+    VPU spends on the [BQ, T_pad] softmax (docs/PERF.md measured-dead-ends
+    discussion). Numerics: standard rescaled accumulator; output matches
+    the monolithic kernel to f32-accumulation tolerance.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0]
+    dh = q.shape[-1] // heads_in_block
+    t_pad = k.shape[0]
+    n_chunks = t_pad // kv_chunk
+    neg_big = jnp.float32(-1e30)
+    for h in range(heads_in_block):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q[:, sl] * jnp.asarray(scale, q.dtype)
+        m_buf[:] = jnp.full_like(m_buf[:], neg_big)
+        d_buf[:] = jnp.zeros_like(d_buf[:])
+        acc_buf[:] = jnp.zeros_like(acc_buf[:])
+        for j in range(n_chunks):
+            ks = slice(j * kv_chunk, (j + 1) * kv_chunk)
+            s_buf[:] = jax.lax.dot_general(
+                qh, k[ks, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias[ks]
+            m_new = jnp.maximum(m_buf[:], jnp.max(s_buf[:], axis=-1, keepdims=True))
+            p = jnp.exp(s_buf[:] - m_new)
+            corr = jnp.exp(m_buf[:] - m_new)
+            d_buf[:] = d_buf[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_buf[:] = acc_buf[:] * corr + jax.lax.dot_general(
+                p.astype(v.dtype), v[ks, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_buf[:] = m_new
+        o_ref[0, :, sl] = (acc_buf[:] / d_buf[:]).astype(o_ref.dtype)
+        l_ref[0, h] = m_buf[:] + jnp.log(d_buf[:])
+
+
+def _fwd_chunked(q3, k3, v3, num_heads: int, scale: float, seq_len: int,
+                 kv_chunk: int):
+    b, t_pad, dm = q3.shape
+    dh = dm // num_heads
+    lane_block = FWD_LANE_BLOCK if dm % FWD_LANE_BLOCK == 0 else LANE_BLOCK
+    hp = _heads_per_block(dh, lane_block)
+    n_pairs = num_heads // hp
+    nq = t_pad // BLOCK_Q_PK
+    bias = _key_bias(t_pad, seq_len)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_chunked, heads_in_block=hp, scale=scale,
+                          kv_chunk=kv_chunk),
+        grid=(b, n_pairs, nq),
+        compiler_params=_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q_PK, lane_block), lambda i, p, j: (i, j, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BLOCK_Q_PK, lane_block), lambda i, p, j: (i, j, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, BLOCK_Q_PK, 1),
+                         lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, dm), q3.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, t_pad, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q_PK, kv_chunk), jnp.float32),
+            pltpu.VMEM((BLOCK_Q_PK, dh), jnp.float32),
+            pltpu.VMEM((BLOCK_Q_PK, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q_PK, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * t_pad * t_pad * dm,
+            bytes_accessed=b * t_pad * dm * 2 * 4,
+            transcendentals=b * t_pad * t_pad * num_heads,
+        ),
+    )(q3, k3, v3, bias)
+    return o, lse
+
+
 def _fwd(q3, k3, v3, num_heads: int, scale: float, seq_len: int):
     b, t_pad, dm = q3.shape
+    if FWD_KV_CHUNK and t_pad % FWD_KV_CHUNK == 0:
+        return _fwd_chunked(q3, k3, v3, num_heads, scale, seq_len, FWD_KV_CHUNK)
     dh = dm // num_heads
     lane_block = FWD_LANE_BLOCK if dm % FWD_LANE_BLOCK == 0 else LANE_BLOCK
     hp = _heads_per_block(dh, lane_block)

@@ -150,3 +150,49 @@ class TestPackedBackward:
         # masked keys must get EXACTLY zero gradient
         assert np.all(np.asarray(gp[1])[:, real:] == 0.0)
         assert np.all(np.asarray(gp[2])[:, real:] == 0.0)
+
+
+class TestChunkedForward:
+    """Online-softmax chunked forward vs the monolithic kernel/reference."""
+
+    @pytest.mark.parametrize("t,chunk", [(256, 128), (768, 256), (300, 128)])
+    def test_matches_reference(self, rng, t, chunk):
+        import intentbev.ops.flash_packed as fp
+        b, h, dh = 1, 6, 64
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        old = fp.FWD_KV_CHUNK
+        fp.FWD_KV_CHUNK = chunk
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(fp.flash_attention_packed(q, k, v, h, seq_len=t))
+        finally:
+            fp.FWD_KV_CHUNK = old
+        want = np.asarray(_packed_via_reference(q, k, v, h))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_grads_flow_through_chunked_forward(self, rng):
+        """The custom VJP's backward consumes the chunked forward's lse."""
+        import intentbev.ops.flash_packed as fp
+        b, h, dh, t = 1, 2, 64, 256
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        old = fp.FWD_KV_CHUNK
+        fp.FWD_KV_CHUNK = 128
+        try:
+            def loss(q, k, v):
+                with pltpu.force_tpu_interpret_mode():
+                    return jnp.sum(jnp.sin(fp.flash_attention_packed(q, k, v, h)))
+            with pltpu.force_tpu_interpret_mode():
+                gp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fp.FWD_KV_CHUNK = old
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(_packed_via_reference(q, k, v, h)))
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
