@@ -112,7 +112,11 @@ def init_train_state(
     g = cfg.grid
     lidar = jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels))
     mp = jnp.zeros((1, g.height_px, g.width_px, g.map_channels))
-    variables = model.init({"params": rng, "dropout": rng}, lidar, mp, train=True)
+    # jit the init: eager init dispatches every op separately — minutes of
+    # round-trips on a tunneled/remote device backend (same fix as bench.py)
+    variables = jax.jit(
+        lambda r, l, m: model.init({"params": r, "dropout": r}, l, m, train=True)
+    )(rng, lidar, mp)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
