@@ -130,18 +130,22 @@ def main():
     model = None
     if "--model" in sys.argv:
         model = sys.argv[sys.argv.index("--model") + 1]
+    batch = 8
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
 
     if model == "cnn":
-        run_mode("bev_frames_per_sec_per_chip_cnn", "cnn")
+        run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
         return
     if int8:
-        run_mode("bev_frames_per_sec_per_chip_int8", "vit", int8=True)
+        run_mode("bev_frames_per_sec_per_chip_int8", "vit", int8=True,
+                 batch_size=batch)
         if model == "vit":
             return
     if model is None:
         # secondary lines first; flagship LAST (drivers parse the last line)
-        run_mode("bev_frames_per_sec_per_chip_cnn", "cnn")
-    run_mode("bev_frames_per_sec_per_chip", "vit")
+        run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
+    run_mode("bev_frames_per_sec_per_chip", "vit", batch_size=batch)
 
 
 if __name__ == "__main__":

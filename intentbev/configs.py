@@ -237,6 +237,14 @@ class ViTBackboneConfig:
     # int8 flash-attention kernel (ops.flash_int8). Inference only — the
     # model must be trained bf16/f32 and quantizes on the fly.
     serving_int8: bool = False
+    # Forward flash-attention variants (ops/flash_packed.py):
+    # fwd_kv_chunk > 0 streams the key axis in that tile size with an
+    # online softmax so MXU and VPU work interleave; unsafe_softmax skips
+    # the row-max pass (exact while every score stays inside the f32 exp
+    # range — validated per checkpoint with tools/score_range.py; use for
+    # SERVING, keep False for training where score ranges drift).
+    fwd_kv_chunk: int = 0
+    unsafe_softmax: bool = False
 
     @property
     def grid_size(self) -> tuple[int, int]:

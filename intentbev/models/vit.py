@@ -215,6 +215,9 @@ class Attention(nn.Module):
     use_flash: bool = True
     kv_len: int | None = None  # real token count when x is tail-padded
     int8_serving: bool = False
+    # forward flash variants (ops/flash_packed.py); None = env default
+    fwd_kv_chunk: int | None = None
+    unsafe_softmax: bool | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -280,7 +283,9 @@ class Attention(nn.Module):
 
             q, k, v = jnp.split(qkv, 3, axis=-1)
             out = flash_attention_packed(
-                q, k, v, self.num_heads, seq_len=self.kv_len
+                q, k, v, self.num_heads, seq_len=self.kv_len,
+                kv_chunk=self.fwd_kv_chunk,
+                unsafe_softmax=self.unsafe_softmax,
             )
         else:
             qkv = qkv.reshape(b, t, 3, self.num_heads, head_dim)
@@ -314,6 +319,8 @@ class EncoderBlock(nn.Module):
     fuse_ln_dense: bool = True
     fused_mlp: bool = True
     int8_serving: bool = False
+    fwd_kv_chunk: int | None = None
+    unsafe_softmax: bool | None = None
     dtype: Any = jnp.float32
 
     def _drop_path_gate(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -334,6 +341,8 @@ class EncoderBlock(nn.Module):
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             use_flash=self.use_flash, kv_len=self.kv_len,
             int8_serving=self.int8_serving,
+            fwd_kv_chunk=self.fwd_kv_chunk,
+            unsafe_softmax=self.unsafe_softmax,
             dtype=self.dtype, name="attn",
         )
         if (self.fused_ln and self.fuse_ln_dense and self.qkv_bias
@@ -447,6 +456,8 @@ class ViTEncoder(nn.Module):
                 fuse_ln_dense=cfg.fuse_ln_dense,
                 fused_mlp=cfg.use_fused_mlp,
                 int8_serving=cfg.serving_int8,
+                fwd_kv_chunk=cfg.fwd_kv_chunk or None,
+                unsafe_softmax=cfg.unsafe_softmax or None,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, deterministic)

@@ -196,3 +196,53 @@ class TestChunkedForward:
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+class TestUnsafeSoftmax:
+    """FWD_UNSAFE_SOFTMAX (fixed-max) forward: exact for range-bounded
+    scores, in both monolithic and chunked kernels, including the padded-key
+    -1e30 bias path and the lse handed to the (unchanged) backward."""
+
+    @pytest.mark.parametrize("chunk", [0, 128])
+    def test_matches_reference(self, rng, chunk):
+        import intentbev.ops.flash_packed as fp
+        b, h, dh, t = 1, 6, 64, 300  # t < t_pad -> padded-key bias active
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        old_c, old_u = fp.FWD_KV_CHUNK, fp.FWD_UNSAFE_SOFTMAX
+        fp.FWD_KV_CHUNK, fp.FWD_UNSAFE_SOFTMAX = chunk, True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(fp.flash_attention_packed(q, k, v, h, seq_len=t))
+        finally:
+            fp.FWD_KV_CHUNK, fp.FWD_UNSAFE_SOFTMAX = old_c, old_u
+        want = np.asarray(_packed_via_reference(q, k, v, h))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_lse_feeds_backward(self, rng):
+        """The unsafe forward's lse = log(sum exp(s)) is the same quantity
+        the safe path stores (m + log sum exp(s-m)); gradients must match
+        the reference."""
+        import intentbev.ops.flash_packed as fp
+        b, h, dh, t = 1, 2, 64, 256
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        old_u = fp.FWD_UNSAFE_SOFTMAX
+        fp.FWD_UNSAFE_SOFTMAX = True
+        try:
+            def loss(q, k, v):
+                with pltpu.force_tpu_interpret_mode():
+                    return jnp.sum(jnp.sin(fp.flash_attention_packed(q, k, v, h)))
+            with pltpu.force_tpu_interpret_mode():
+                gp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fp.FWD_UNSAFE_SOFTMAX = old_u
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(_packed_via_reference(q, k, v, h)))
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
