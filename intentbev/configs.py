@@ -245,6 +245,12 @@ class ViTBackboneConfig:
     # SERVING, keep False for training where score ranges drift).
     fwd_kv_chunk: int = 0
     unsafe_softmax: bool = False
+    # Serving LN chain (models/vit.py ViTEncoder): on deterministic forward
+    # passes, norm1 of block i+1 and the stack's final norm run as in-VMEM
+    # epilogues of block i's fused tail kernel (ops/fused_ln_mlp ln_out) —
+    # the standalone LN kernels between blocks disappear. Forward-only;
+    # training always uses the differentiable unchained structure.
+    fuse_ln_chain: bool = True
 
     @property
     def grid_size(self) -> tuple[int, int]:

@@ -92,6 +92,23 @@ class FastLayerNorm(nn.Module):
         return xc * inv * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
+def _apply_ln(x, scale, bias, dtype, use_pallas: bool, eps: float = 1e-6):
+    """LayerNorm with explicit params: the Pallas kernel on TPU when
+    ``use_pallas``, FastLayerNorm math elsewhere — same dispatch as the
+    PallasLayerNorm module, just with externally owned parameters (the
+    serving LN chain hands block i+1's norm1 params to block i)."""
+    xb = x.astype(dtype)
+    if use_pallas and jax.default_backend() == "tpu":
+        from ..ops.layernorm import fused_layernorm
+
+        return fused_layernorm(xb, scale, bias, eps)
+    m = jnp.mean(xb, axis=-1, keepdims=True, dtype=jnp.float32)
+    xc = xb - m.astype(dtype)
+    var = jnp.mean(jax.lax.square(xc), axis=-1, keepdims=True, dtype=jnp.float32)
+    inv = jax.lax.rsqrt(var + eps).astype(dtype)
+    return xc * inv * scale.astype(dtype) + bias.astype(dtype)
+
+
 class _LinearParams(nn.Module):
     """Parameter holder matching nn.Dense's param names/shapes, so the fused
     and unfused MLP paths share one checkpoint layout."""
@@ -137,7 +154,8 @@ class Mlp(nn.Module):
         residual: jnp.ndarray | None = None,
         gate: jnp.ndarray | None = None,
         ln: tuple[jnp.ndarray, jnp.ndarray] | None = None,
-    ) -> jnp.ndarray:
+        ln_out: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    ):
         """``gate``: per-sample-ish stochastic-depth factor broadcastable to
         x.shape[:-1]; folded into the fused kernel's epilogue.
 
@@ -145,7 +163,13 @@ class Mlp(nn.Module):
         this module: on TPU the whole block tail x + gate*mlp(LN(x)) runs as
         one Pallas kernel (ops.fused_ln_mlp — x read once, out written once);
         elsewhere the LN is applied eagerly first. When ``ln`` is given,
-        ``residual`` must be the same array as ``x`` (pre-LN block tail)."""
+        ``residual`` must be the same array as ``x`` (pre-LN block tail).
+
+        ``ln_out``: optional (scale, bias) of a LayerNorm applied to the
+        output as an epilogue; returns ``(out, ln(out))`` instead of ``out``
+        (serving LN chain; requires ``ln``; forward-only on TPU)."""
+        if ln_out is not None and self.int8_serving:
+            raise NotImplementedError("ln_out epilogue not supported on the int8 path")
         if self.int8_serving:
             from ..ops.int8 import int8_dense
 
@@ -181,6 +205,7 @@ class Mlp(nn.Module):
                 return fused_ln_mlp(
                     x, ln[0], ln[1], w1.astype(self.dtype), b1,
                     w2.astype(self.dtype), b2, gate=gate, eps=self.ln_eps,
+                    ln_out=ln_out,
                 )
             from ..ops.fused_mlp import fused_mlp
 
@@ -206,6 +231,10 @@ class Mlp(nn.Module):
             y = y * gate[..., None].astype(y.dtype)
         if residual is not None:
             y = y + residual
+        if ln_out is not None:
+            # eager epilogue (CPU/debug): same math as the kernel epilogue
+            return y, _apply_ln(y, ln_out[0], ln_out[1], self.dtype,
+                                use_pallas=False, eps=self.ln_eps)
         return y
 
 
@@ -309,6 +338,14 @@ class Attention(nn.Module):
 
 
 class EncoderBlock(nn.Module):
+    """Pre-LN transformer block, setup-style so the parent can read this
+    block's norm1 parameters (``ln1_params``) BEFORE calling it — the
+    serving LN chain hands them to the previous block's tail kernel as an
+    in-VMEM epilogue (``ln_next``). Param tree is identical to the old
+    compact layout in every config: norm1/norm2 hold {scale, bias}
+    regardless of which kernel applies the math."""
+
+    dim: int
     num_heads: int
     mlp_ratio: float
     qkv_bias: bool
@@ -323,6 +360,27 @@ class EncoderBlock(nn.Module):
     unsafe_softmax: bool | None = None
     dtype: Any = jnp.float32
 
+    def setup(self):
+        d = self.dim
+        self.norm1 = _LNParams(d)
+        self.attn = Attention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            use_flash=self.use_flash, kv_len=self.kv_len,
+            int8_serving=self.int8_serving,
+            fwd_kv_chunk=self.fwd_kv_chunk,
+            unsafe_softmax=self.unsafe_softmax,
+            dtype=self.dtype,
+        )
+        self.norm2 = _LNParams(d)
+        self.mlp = Mlp(
+            hidden_dim=int(d * self.mlp_ratio), out_dim=d,
+            fused=self.fused_mlp, int8_serving=self.int8_serving,
+            dtype=self.dtype,
+        )
+
+    def ln1_params(self):
+        return self.norm1()
+
     def _drop_path_gate(self, x: jnp.ndarray) -> jnp.ndarray:
         """Per-sample stochastic-depth gate (0 or 1/keep), broadcast over
         tokens — same distribution as timm DropPath."""
@@ -331,59 +389,59 @@ class EncoderBlock(nn.Module):
         mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1))
         return jnp.broadcast_to(mask.astype(jnp.float32) / keep, x.shape[:-1])
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        d = x.shape[-1]
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        xn: jnp.ndarray | None = None,
+        ln_next: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    ):
+        """``xn``: this block's input ALREADY norm1-normed (produced by the
+        previous block's tail epilogue in the serving LN chain).
+        ``ln_next``: (scale, bias) of the NEXT consumer's LayerNorm (next
+        block's norm1 or the stack's final norm) to emit from this block's
+        tail; when given, returns ``(out, ln_next(out))``."""
         use_gates = self.drop_path_rate > 0.0 and not deterministic
-        norm_cls = PallasLayerNorm if self.fused_ln else FastLayerNorm
 
-        attn = Attention(
-            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            use_flash=self.use_flash, kv_len=self.kv_len,
-            int8_serving=self.int8_serving,
-            fwd_kv_chunk=self.fwd_kv_chunk,
-            unsafe_softmax=self.unsafe_softmax,
-            dtype=self.dtype, name="attn",
-        )
-        if (self.fused_ln and self.fuse_ln_dense and self.qkv_bias
+        if xn is not None:
+            x = self.attn(
+                xn.astype(self.dtype), residual=x,
+                gate=self._drop_path_gate(x) if use_gates else None,
+            )
+        elif (self.fused_ln and self.fuse_ln_dense and self.qkv_bias
                 and not self.int8_serving):
-            # norm1 folded into the qkv projection (ops.fused_ln_dense);
-            # params created with the same tree names as the standalone LN
-            # so checkpoints are layout-identical either way
-            gamma1, beta1 = _LNParams(d, name="norm1")()
-            x = attn(
+            # norm1 folded into the qkv projection (ops.fused_ln_dense)
+            gamma1, beta1 = self.norm1()
+            x = self.attn(
                 x, residual=x,
                 gate=self._drop_path_gate(x) if use_gates else None,
                 ln=(gamma1, beta1),
             )
         else:
-            h = norm_cls(dtype=self.dtype, name="norm1")(x)
-            x = attn(
+            gamma1, beta1 = self.norm1()
+            h = _apply_ln(x, gamma1, beta1, self.dtype, use_pallas=self.fused_ln)
+            x = self.attn(
                 h.astype(self.dtype),
                 residual=x,
                 gate=self._drop_path_gate(x) if use_gates else None,
             )
-        mlp = Mlp(
-            hidden_dim=int(d * self.mlp_ratio), out_dim=d,
-            fused=self.fused_mlp, int8_serving=self.int8_serving,
-            dtype=self.dtype, name="mlp",
-        )
+        gamma2, beta2 = self.norm2()
         if self.fused_mlp and self.fused_ln and not self.int8_serving:
             # block tail as ONE kernel on TPU: x + gate*mlp(norm2(x))
-            # (ops.fused_ln_mlp); norm2 params created with the same tree
-            # names so checkpoints are layout-identical either way
-            gamma, beta = _LNParams(d, name="norm2")()
-            x = mlp(
+            # (ops.fused_ln_mlp), optionally emitting ln_next(out) too
+            return self.mlp(
                 x, residual=x,
                 gate=self._drop_path_gate(x) if use_gates else None,
-                ln=(gamma, beta),
+                ln=(gamma2, beta2), ln_out=ln_next,
             )
-            return x
-        h = norm_cls(dtype=self.dtype, name="norm2")(x)
-        x = mlp(
+        h = _apply_ln(x, gamma2, beta2, self.dtype, use_pallas=self.fused_ln)
+        x = self.mlp(
             h.astype(self.dtype), residual=x,
             gate=self._drop_path_gate(x) if use_gates else None,
         )
+        if ln_next is not None:
+            return x, _apply_ln(x, ln_next[0], ln_next[1], self.dtype,
+                                use_pallas=self.fused_ln)
         return x
 
 
@@ -444,8 +502,9 @@ class ViTEncoder(nn.Module):
         block_cls = EncoderBlock
         if self.remat:
             block_cls = nn.remat(EncoderBlock, static_argnums=(2,))
-        for i in range(cfg.depth):
-            tokens = block_cls(
+        blocks = [
+            block_cls(
+                dim=cfg.embed_dim,
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias,
@@ -460,7 +519,34 @@ class ViTEncoder(nn.Module):
                 unsafe_softmax=cfg.unsafe_softmax or None,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(tokens, deterministic)
+            )
+            for i in range(cfg.depth)
+        ]
+        use_chain = (
+            cfg.fuse_ln_chain and deterministic
+            and cfg.use_fused_layernorm and cfg.use_fused_mlp
+            and not cfg.fuse_ln_dense and not cfg.serving_int8
+            and not self.remat and cfg.depth > 0
+        )
+        if use_chain:
+            # Serving LN chain: every norm1 (block 1..N-1) AND the final
+            # norm run as in-VMEM epilogues of the previous block's fused
+            # tail kernel — only block 0's norm1 is a standalone LN. The
+            # param tree is identical to the unchained path (norm1/norm2/
+            # norm all hold {scale, bias} wherever the math runs).
+            # Forward-only: gated on `deterministic` (training keeps the
+            # differentiable unchained structure).
+            g_fin, b_fin = _LNParams(cfg.embed_dim, name="norm")()
+            ln1s = [blk.ln1_params() for blk in blocks]
+            xn = _apply_ln(tokens, ln1s[0][0], ln1s[0][1], self.dtype,
+                           use_pallas=cfg.use_fused_layernorm)
+            for i, blk in enumerate(blocks):
+                nxt = ln1s[i + 1] if i + 1 < len(blocks) else (g_fin, b_fin)
+                tokens, xn = blk(tokens, deterministic, xn=xn, ln_next=nxt)
+            # xn is now final_norm(tokens) for free
+            return xn[:, :real_len]
+        for blk in blocks:
+            tokens = blk(tokens, deterministic)
         tokens = tokens[:, :real_len]
         final_norm = PallasLayerNorm if cfg.use_fused_layernorm else FastLayerNorm
         return final_norm(dtype=self.dtype, name="norm")(tokens)

@@ -57,6 +57,32 @@ def _ln(x, g_ref, b_ref, eps):
     return xhat, inv, xn
 
 
+def _fwd_ln_out_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       gate_ref, gn_ref, bn_ref, y_ref, yn_ref, *, eps: float):
+    """Block tail + LN epilogue: y = x + gate*mlp(LN2(x)); yn = LN(y)*gn+bn.
+
+    ``yn`` is the NEXT consumer's pre-LN (the next block's norm1, or the
+    stack's final norm) computed while y is still in VMEM — the serving
+    path's standalone LN kernel (a full HBM read + write of y per block)
+    disappears. Forward-only: the serving/eval path never differentiates;
+    training keeps the standalone-norm1 structure."""
+    x = x_ref[:].astype(jnp.float32)
+    _, _, xn = _ln(x, g_ref, b_ref, eps)
+    g = jax.lax.dot_general(
+        xn.astype(x_ref.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    h = _gelu(g)
+    y = jax.lax.dot_general(
+        h.astype(x_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:].astype(jnp.float32)
+    y = y * gate_ref[:] + x
+    y_ref[:] = y.astype(y_ref.dtype)
+    _, _, yn = _ln(y, gn_ref, bn_ref, eps)
+    yn_ref[:] = yn.astype(yn_ref.dtype)
+
+
 def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 gate_ref, y_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)
@@ -101,6 +127,47 @@ def _fwd(x2, gamma, beta, w1, b1, w2, b2, gate2, eps):
     )(x2, gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, -1),
       w2, b2.reshape(1, -1), gate2)
     return y
+
+
+def _fwd_ln_out(x2, gamma, beta, w1, b1, w2, b2, gate2, gamma_n, beta_n, eps):
+    n, d = x2.shape
+    dh = w1.shape[1]
+    R = BLOCK_ROWS_LNMLP
+    const = lambda i: (0, 0)
+    row = lambda i: (i, 0)
+    y, yn = pl.pallas_call(
+        functools.partial(_fwd_ln_out_kernel, eps=eps),
+        grid=(n // R,),
+        compiler_params=_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec((R, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, dh), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, d), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), x2.dtype),
+            jax.ShapeDtypeStruct((n, d), x2.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * dh,
+            bytes_accessed=3 * n * d * 2 + 2 * d * dh * 2,
+            transcendentals=n * dh,
+        ),
+    )(x2, gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, -1),
+      w2, b2.reshape(1, -1), gate2, gamma_n.reshape(1, d),
+      beta_n.reshape(1, d))
+    return y, yn
 
 
 def _bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, gate_ref, dy_ref,
@@ -225,12 +292,19 @@ def _flm_bwd(eps, res, dy):
 _fused_ln_mlp2.defvjp(_flm_fwd, _flm_bwd)
 
 
-def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, gate=None, eps: float = 1e-6):
+def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, gate=None, eps: float = 1e-6,
+                 ln_out=None):
     """out = gate * mlp(layernorm(x) * gamma + beta) + x over [..., D].
 
     The residual is implicitly ``x`` (pre-LN transformer block tail).
     ``gate``: optional per-row stochastic-depth factor broadcastable to
     x.shape[:-1] (0 or 1/keep_prob); defaults to ones.
+
+    ``ln_out``: optional (scale, bias) of a LayerNorm applied to the OUTPUT
+    as an in-VMEM epilogue; returns ``(out, ln(out))``. Forward-only (no
+    custom VJP — differentiating it fails loudly); used by the serving LN
+    chain in models/vit.py where consecutive blocks hand norm1 of block
+    i+1 (and the final norm) to block i's tail.
     """
     shape = x.shape
     d = shape[-1]
@@ -246,5 +320,9 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, gate=None, eps: float = 1e-6):
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
         gate2 = jnp.pad(gate2, ((0, n_pad - n), (0, 0)))
+    if ln_out is not None:
+        y, yn = _fwd_ln_out(x2, gamma, beta, w1, b1, w2, b2, gate2,
+                            ln_out[0], ln_out[1], eps)
+        return y[:n].reshape(shape), yn[:n].reshape(shape)
     y = _fused_ln_mlp2(x2, gamma, beta, w1, b1, w2, b2, gate2, eps)
     return y[:n].reshape(shape)

@@ -35,6 +35,20 @@ def _pad_rows(n: int) -> int:
     return ((n + BLOCK_ROWS - 1) // BLOCK_ROWS) * BLOCK_ROWS
 
 
+def _fwd_infer_kernel(x_ref, g_ref, b_ref, y_ref, *, eps: float):
+    # Inference-only forward: y alone. The residual-producing kernel below
+    # also writes xhat (a full-size bf16 tensor) for the backward — unused
+    # outputs of a pallas_call are NOT dead-code-eliminated by XLA, so the
+    # serving path was paying a 3rd full-tensor HBM stream for nothing.
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    y = xc * inv * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
 def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, xhat_ref, inv_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -60,6 +74,22 @@ def _bwd_kernel(dy_ref, xhat_ref, inv_ref, g_ref, dx_ref, dg_ref, db_ref):
     dx_ref[:] = dx.astype(dx_ref.dtype)
     dg_ref[0] = jnp.sum(dy * xhat, axis=0, keepdims=True)
     db_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _fwd_infer(x2, gamma, beta, eps: float):
+    n, d = x2.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_infer_kernel, eps=eps),
+        grid=(n // BLOCK_ROWS,),
+        compiler_params=_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec((BLOCK_ROWS, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_ROWS, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), x2.dtype),
+    )(x2, gamma.reshape(1, d), beta.reshape(1, d))
 
 
 def _fwd(x2, gamma, beta, eps: float):
@@ -119,8 +149,8 @@ def _bwd_call(dy2, xhat, inv, gamma):
 def fused_layernorm_2d(x2, gamma, beta, eps: float = 1e-6):
     """LayerNorm over the last dim of x2 [N, D]; N must be a multiple of
     BLOCK_ROWS (use :func:`fused_layernorm` for arbitrary shapes)."""
-    y, _, _ = _fwd(x2, gamma, beta, eps)
-    return y
+    # primal (not being differentiated): inference kernel, no residuals
+    return _fwd_infer(x2, gamma, beta, eps)
 
 
 def _fl_fwd(x2, gamma, beta, eps):

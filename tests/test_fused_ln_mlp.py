@@ -89,11 +89,11 @@ class TestEncoderBlockFusedTail:
 
         x = jnp.asarray(rng.normal(0, 1, (2, 64, 96)).astype(np.float32))
         blk_fused = EncoderBlock(
-            num_heads=6, mlp_ratio=4.0, qkv_bias=True, drop_path_rate=0.0,
-            use_flash=False, fused_ln=True, fused_mlp=True)
+            dim=96, num_heads=6, mlp_ratio=4.0, qkv_bias=True,
+            drop_path_rate=0.0, use_flash=False, fused_ln=True, fused_mlp=True)
         blk_plain = EncoderBlock(
-            num_heads=6, mlp_ratio=4.0, qkv_bias=True, drop_path_rate=0.0,
-            use_flash=False, fused_ln=False, fused_mlp=False)
+            dim=96, num_heads=6, mlp_ratio=4.0, qkv_bias=True,
+            drop_path_rate=0.0, use_flash=False, fused_ln=False, fused_mlp=False)
         v_fused = blk_fused.init(jax.random.key(0), x)
         v_plain = blk_plain.init(jax.random.key(0), x)
         tf = jax.tree_util.tree_structure(v_fused)
@@ -102,3 +102,73 @@ class TestEncoderBlockFusedTail:
         yf = np.asarray(blk_fused.apply(v_plain, x))
         yp = np.asarray(blk_plain.apply(v_plain, x))
         np.testing.assert_allclose(yf, yp, atol=2e-5)
+
+
+class TestLnOutEpilogue:
+    """fused_ln_mlp(..., ln_out=(g, b)) -> (y, LN(y)) — the serving LN
+    chain's building block (block i's tail emits block i+1's norm1)."""
+
+    def test_forward_pair_matches(self, rng):
+        n, d, dh = 300, 128, 512
+        x = jnp.asarray(rng.normal(0, 1, (2, n, d)).astype(np.float32))
+        gamma = jnp.asarray(rng.normal(1, 0.1, d).astype(np.float32))
+        beta = jnp.asarray(rng.normal(0, 0.1, d).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, 0.05, (d, dh)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(0, 0.02, dh).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, 0.05, (dh, d)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(0, 0.02, d).astype(np.float32))
+        gn = jnp.asarray(rng.normal(1, 0.1, d).astype(np.float32))
+        bn = jnp.asarray(rng.normal(0, 0.1, d).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            y, yn = fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2,
+                                 ln_out=(gn, bn))
+        y_want = _ref(x, gamma, beta, w1, b1, w2, b2)
+        mu = jnp.mean(y_want, axis=-1, keepdims=True)
+        yc = y_want - mu
+        var = jnp.mean(yc * yc, axis=-1, keepdims=True)
+        yn_want = yc * jax.lax.rsqrt(var + 1e-6) * gn + bn
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_want), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(yn), np.asarray(yn_want), atol=5e-5)
+
+
+class TestServingLnChain:
+    """ViTEncoder's serving LN chain (fuse_ln_chain): identical params and
+    outputs to the unchained path. CPU exercises the wiring + eager
+    fallbacks; kernel numerics are covered by TestLnOutEpilogue and the
+    on-chip bench."""
+
+    def _enc(self, chain: bool):
+        import dataclasses
+        from intentbev.configs import ViTBackboneConfig
+        from intentbev.models.vit import ViTEncoder
+
+        cfg = ViTBackboneConfig(
+            embed_dim=64, depth=3, num_heads=2, patch_size=8,
+            fuse_ln_chain=chain, fuse_ln_dense=False)
+        return ViTEncoder(cfg=cfg, in_channels=3, use_flash=False)
+
+    def test_params_and_outputs_match(self, rng):
+        x = jnp.asarray(rng.normal(0, 1, (2, 32, 40, 3)).astype(np.float32))
+        enc_c = self._enc(True)
+        enc_p = self._enc(False)
+        v_c = enc_c.init(jax.random.key(0), x)       # deterministic init
+        v_p = enc_p.init(jax.random.key(0), x)
+        assert (jax.tree_util.tree_structure(v_c)
+                == jax.tree_util.tree_structure(v_p))
+        y_c = np.asarray(enc_c.apply(v_p, x, True))   # deterministic -> chain
+        y_p = np.asarray(enc_p.apply(v_p, x, True))
+        np.testing.assert_allclose(y_c, y_p, atol=2e-5)
+
+    def test_train_path_unchained_and_differentiable(self, rng):
+        x = jnp.asarray(rng.normal(0, 1, (1, 32, 40, 3)).astype(np.float32))
+        enc = self._enc(True)
+        v = enc.init(jax.random.key(0), x)
+
+        def loss(v):
+            y = enc.apply(v, x, False,                # train -> unchained
+                          rngs={"dropout": jax.random.key(1)})
+            return jnp.sum(y * y)
+
+        g = jax.grad(loss)(v)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)

@@ -17,6 +17,12 @@ import argparse
 import dataclasses
 
 import jax
+
+# Force CPU regardless of the axon TPU tunnel: the probe is pure jnp and
+# must not contend with a training/bench run holding the chip. (The env
+# var alone is not reliably honoured by the axon plugin — use the config.)
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,7 +56,23 @@ def _install_probe() -> None:
 
     flash_packed.flash_attention_packed = probed
     # models/vit.py does `from ..ops.flash_packed import flash_attention_packed`
-    # inside __call__, so patching the module attribute is sufficient.
+    # inside __call__, so patching the module attribute is sufficient — on
+    # TPU. On CPU the Attention module takes the BHTD multi_head_attention
+    # branch instead (vit.py `use_flash and on_tpu`), so probe that too:
+
+    def probed_bhtd(q, k, v, use_flash=True, kv_len=None):
+        # q/k/v [B, H, T, D] -> same packed layout the flash probe expects
+        b, h, t, dh = q.shape
+        pack = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, h * dh)
+        o = probed(pack(q), pack(k), pack(v), h, seq_len=kv_len)
+        return jnp.transpose(o.reshape(b, t, h, dh), (0, 2, 1, 3))
+
+    import intentbev.ops as ops_pkg
+    from intentbev import models as models_pkg
+    from intentbev.models import vit as vit_mod
+
+    ops_pkg.multi_head_attention = probed_bhtd
+    vit_mod.multi_head_attention = probed_bhtd  # imported at module top
 
 
 def main() -> None:
