@@ -251,6 +251,15 @@ class ViTBackboneConfig:
     # the standalone LN kernels between blocks disappear. Forward-only;
     # training always uses the differentiable unchained structure.
     fuse_ln_chain: bool = True
+    # Fused Pallas patch-embed (ops/patch_embed.py) on deterministic TPU
+    # passes for wide (>=128-channel) inputs: consumes the BEV directly and
+    # embeds via 64 (dy,dx)-sliced matmuls against the VMEM-resident conv
+    # kernel. MEASURED NEUTRAL at full scale (60.6 vs 60.8 fps; kernel
+    # 5.2 ms vs the ~4.3 ms conv fusion it replaces — K=290 lane padding
+    # eats the win, and the profiled 6 ms `reshape` relayout turned out to
+    # be the scatter-output layout copy, which persists either way). Kept
+    # off; tested option for narrower-channel configs where K aligns.
+    fuse_patch_embed: bool = False
 
     @property
     def grid_size(self) -> tuple[int, int]:

@@ -109,6 +109,25 @@ def _apply_ln(x, scale, bias, dtype, use_pallas: bool, eps: float = 1e-6):
     return xc * inv * scale.astype(dtype) + bias.astype(dtype)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's param names/shapes (HWIO kernel
+    + bias), so the fused Pallas patch-embed and the conv path share one
+    checkpoint layout."""
+
+    patch: int
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _dense_init,
+            (self.patch, self.patch, self.in_ch, self.out_ch),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return kernel, bias
+
+
 class _LinearParams(nn.Module):
     """Parameter holder matching nn.Dense's param names/shapes, so the fused
     and unfused MLP paths share one checkpoint layout."""
@@ -467,11 +486,32 @@ class ViTEncoder(nn.Module):
         gh, gw = h // p, w // p
         n = gh * gw
 
-        x = nn.Conv(
-            cfg.embed_dim, (p, p), strides=(p, p), padding="VALID",
-            kernel_init=_dense_init, dtype=self.dtype, name="patch_embed",
-        )(x_nhwc)
-        tokens = x.reshape(b, n, cfg.embed_dim)
+        use_pallas_embed = (
+            cfg.fuse_patch_embed and deterministic
+            and x_nhwc.shape[-1] >= 128
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas_embed:
+            # Fused Pallas patch-embed (ops.patch_embed): consumes the BEV
+            # in its scatter-native layout — XLA's ~6 ms/step conv-input
+            # relayout (`reshape.2`, docs/PERF.md) disappears. Same params
+            # as the conv (kernel/bias under "patch_embed"), so checkpoints
+            # are interchangeable. Deterministic passes only (forward-only
+            # kernel); gated to wide inputs (the 9-channel map stream's
+            # conv is already cheap and lane-padding C=9 would waste MXU).
+            from ..ops.patch_embed import patch_embed_matmul
+
+            wconv, bconv = _ConvParams(
+                p, x_nhwc.shape[-1], cfg.embed_dim, name="patch_embed")()
+            tokens = patch_embed_matmul(
+                x_nhwc.astype(self.dtype), wconv.astype(self.dtype),
+                bconv, p)
+        else:
+            x = nn.Conv(
+                cfg.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                kernel_init=_dense_init, dtype=self.dtype, name="patch_embed",
+            )(x_nhwc)
+            tokens = x.reshape(b, n, cfg.embed_dim)
 
         cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, cfg.embed_dim)
