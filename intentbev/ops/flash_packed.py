@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -57,6 +58,16 @@ FWD_KV_CHUNK = int(_os.environ.get("INTENTBEV_FWD_KV_CHUNK", "0"))
 # tools/score_range.py). In the chunked kernel this also deletes the
 # running-max rescale (corr) work, leaving pure accumulation.
 FWD_UNSAFE_SOFTMAX = _os.environ.get("INTENTBEV_FWD_SOFTMAX", "safe") == "unsafe"
+# Chunked-unsafe forward experiments (env-gated; parity-tested):
+# FWD_PIPELINE: double-buffer the score scratch and issue chunk j+1's
+# qK^T matmul BEFORE chunk j's exp/sum — the profile shows the kernel at
+# ~(MXU floor + exp cost), i.e. the units are serialized; the lookahead
+# gives the scheduler an independent MXU op to overlap with the VPU exp.
+# FWD_EXP2: fold log2(e) into the query scale and use exp2 — same
+# function (exp(s) = exp2(s*log2e) exactly in f32), one fewer VPU mul if
+# the hardware exp lowers via exp2.
+FWD_PIPELINE = _os.environ.get("INTENTBEV_FWD_PIPELINE", "0") == "1"
+FWD_EXP2 = _os.environ.get("INTENTBEV_FWD_EXP2", "0") == "1"
 
 
 def _heads_per_block(dh: int, lane_block: int = LANE_BLOCK) -> int:
@@ -100,9 +111,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, s_buf,
 
 
 def _fwd_kernel_chunked(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref,
-                        s_buf, acc_buf, m_buf, d_buf,
+                        s_buf, s_buf2, acc_buf, m_buf, d_buf,
                         *, heads_in_block: int, scale: float, kv_chunk: int,
-                        safe: bool = True):
+                        safe: bool = True, pipeline: bool = False,
+                        exp2: bool = False):
     """Online-softmax forward: the key axis is processed in ``kv_chunk``
     tiles so the instruction stream interleaves MXU work (S_{j+1} = qK^T,
     P_j V_j) with VPU work (exp/max/sum of chunk j) at fine granularity —
@@ -120,43 +132,74 @@ def _fwd_kernel_chunked(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref,
     t_pad = k.shape[0]
     n_chunks = t_pad // kv_chunk
     neg_big = jnp.float32(-1e30)
+    # exp2 mode: exp(s) = exp2(s * log2(e)) exactly; fold log2(e) into the
+    # query scale and the padded-key bias so the VPU op is a bare exp2.
+    log2e = float(np.log2(np.e)) if exp2 else 1.0
+    expfn = jnp.exp2 if exp2 else jnp.exp
     for h in range(heads_in_block):
         sl = slice(h * dh, (h + 1) * dh)
-        qh = q[:, sl] * jnp.asarray(scale, q.dtype)
+        qh = q[:, sl] * jnp.asarray(scale * log2e, q.dtype)
+        hb = bias * log2e if exp2 else bias
         if safe:
             m_buf[:] = jnp.full_like(m_buf[:], neg_big)
         d_buf[:] = jnp.zeros_like(d_buf[:])
         acc_buf[:] = jnp.zeros_like(acc_buf[:])
-        for j in range(n_chunks):
+
+        def _score(j, buf):
             ks = slice(j * kv_chunk, (j + 1) * kv_chunk)
-            s_buf[:] = jax.lax.dot_general(
+            buf[:] = jax.lax.dot_general(
                 qh, k[ks, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bias[ks]
-            if safe:
-                m_new = jnp.maximum(
-                    m_buf[:], jnp.max(s_buf[:], axis=-1, keepdims=True))
-                p = jnp.exp(s_buf[:] - m_new)
-                corr = jnp.exp(m_buf[:] - m_new)
-                d_buf[:] = d_buf[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
-                acc_buf[:] = acc_buf[:] * corr + jax.lax.dot_general(
-                    p.astype(v.dtype), v[ks, sl], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                m_buf[:] = m_new
-            else:
-                # FWD_UNSAFE_SOFTMAX: range-bounded scores -> no running
-                # max, no rescale; the chunk loop is pure accumulation, so
-                # the only VPU work per chunk is exp + sum.
-                p = jnp.exp(s_buf[:])
+            ) + hb[ks]
+
+        if not safe and pipeline:
+            # Lookahead: issue chunk j+1's qK^T before chunk j's exp/sum —
+            # S_{j+1} is independent of P_j, giving the scheduler MXU work
+            # to overlap with the VPU exp (pure accumulation, no rescale).
+            bufs = [s_buf, s_buf2]
+            _score(0, bufs[0])
+            for j in range(n_chunks):
+                cur, nxt = bufs[j % 2], bufs[(j + 1) % 2]
+                if j + 1 < n_chunks:
+                    _score(j + 1, nxt)
+                ks = slice(j * kv_chunk, (j + 1) * kv_chunk)
+                p = expfn(cur[:])
                 d_buf[:] = d_buf[:] + jnp.sum(p, axis=-1, keepdims=True)
                 acc_buf[:] = acc_buf[:] + jax.lax.dot_general(
                     p.astype(v.dtype), v[ks, sl], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+        else:
+            for j in range(n_chunks):
+                ks = slice(j * kv_chunk, (j + 1) * kv_chunk)
+                _score(j, s_buf)
+                if safe:
+                    m_new = jnp.maximum(
+                        m_buf[:], jnp.max(s_buf[:], axis=-1, keepdims=True))
+                    p = jnp.exp(s_buf[:] - m_new)
+                    corr = jnp.exp(m_buf[:] - m_new)
+                    d_buf[:] = d_buf[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+                    acc_buf[:] = acc_buf[:] * corr + jax.lax.dot_general(
+                        p.astype(v.dtype), v[ks, sl], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    m_buf[:] = m_new
+                else:
+                    # FWD_UNSAFE_SOFTMAX: range-bounded scores -> no running
+                    # max, no rescale; the chunk loop is pure accumulation,
+                    # so the only VPU work per chunk is exp + sum.
+                    p = expfn(s_buf[:])
+                    d_buf[:] = d_buf[:] + jnp.sum(p, axis=-1, keepdims=True)
+                    acc_buf[:] = acc_buf[:] + jax.lax.dot_general(
+                        p.astype(v.dtype), v[ks, sl], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
         o_ref[0, :, sl] = (acc_buf[:] / d_buf[:]).astype(o_ref.dtype)
         if safe:
             l_ref[0, h] = m_buf[:] + jnp.log(d_buf[:])
+        elif exp2:
+            # d = sum exp2(s*log2e) = sum exp(s): same lse either way
+            l_ref[0, h] = jnp.log(d_buf[:])
         else:
             l_ref[0, h] = jnp.log(d_buf[:])
 
@@ -172,7 +215,9 @@ def _fwd_chunked(q3, k3, v3, num_heads: int, scale: float, seq_len: int,
     bias = _key_bias(t_pad, seq_len)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel_chunked, heads_in_block=hp, scale=scale,
-                          kv_chunk=kv_chunk, safe=safe),
+                          kv_chunk=kv_chunk, safe=safe,
+                          pipeline=FWD_PIPELINE and not safe,
+                          exp2=FWD_EXP2 and not safe),
         grid=(b, n_pairs, nq),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
@@ -197,6 +242,7 @@ def _fwd_chunked(q3, k3, v3, num_heads: int, scale: float, seq_len: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((BLOCK_Q_PK, kv_chunk), jnp.float32),
+            pltpu.VMEM((BLOCK_Q_PK, kv_chunk), jnp.float32),  # pipeline 2nd buf
             pltpu.VMEM((BLOCK_Q_PK, dh), jnp.float32),
             pltpu.VMEM((BLOCK_Q_PK, 1), jnp.float32),
             pltpu.VMEM((BLOCK_Q_PK, 1), jnp.float32),

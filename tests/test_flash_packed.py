@@ -246,3 +246,28 @@ class TestUnsafeSoftmax:
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+class TestChunkedVariants:
+    """Env-gated chunked-unsafe forward variants (pipeline lookahead,
+    exp2-folded scores) are exact vs the reference path."""
+
+    @pytest.mark.parametrize("pipeline,exp2", [(True, False), (False, True),
+                                               (True, True)])
+    def test_matches_reference(self, rng, pipeline, exp2):
+        import intentbev.ops.flash_packed as fp
+        b, h, dh, t = 1, 6, 64, 300   # t < t_pad -> padded-key bias active
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        old = (fp.FWD_PIPELINE, fp.FWD_EXP2)
+        fp.FWD_PIPELINE, fp.FWD_EXP2 = pipeline, exp2
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(fp.flash_attention_packed(
+                    q, k, v, h, seq_len=t, kv_chunk=128, unsafe_softmax=True))
+        finally:
+            fp.FWD_PIPELINE, fp.FWD_EXP2 = old
+        want = np.asarray(_packed_via_reference(q, k, v, h))
+        np.testing.assert_allclose(got, want, atol=3e-5)
