@@ -93,12 +93,23 @@ def scripted_vehicles(
         "start": (float(rng.uniform(10.0, 45.0)), center_y()),
         "velocity": (0.0, 0.0), "yaw": 0.0,
     })
-    # 3 stopping: gentle decel to a halt 1.5-3 m short of the crosswalk
-    for i in range(3):
-        v0 = float(rng.uniform(1.6, 2.6))
-        d = float(rng.uniform(2.0, 4.0))      # distance to stop point
-        gap = float(rng.uniform(1.5, 3.0))    # halt short of the crosswalk
-        if i < 2:  # forward lanes, approaching from -x
+    # 6 stopping: gentle decel to a halt short of the crosswalk (queued).
+    # Stop times 2d/v0 are STAGGERED across ~2.5-9 s so the labeler's
+    # STOPPING band (future displacement in [0.5, 1.5] m over the 3 s
+    # horizon) is populated somewhere in the scene at every frame of the
+    # log, not just in one early burst — this is what lifts STOPPING
+    # support above the ~2.6% the round-3 scenes produced.
+    for i in range(6):
+        if i % 2 == 0:  # creepers: low v0, long d -> band lasts seconds
+            v0 = float(rng.uniform(0.8, 1.4))
+            d = float(rng.uniform(3.5, 6.5))
+        else:           # slightly brisker, still gentle (band ~1 s)
+            v0 = float(rng.uniform(1.4, 2.0))
+            d = float(rng.uniform(3.0, 5.0))
+        # distinct queue slot per stopper (~6 m pitch) so same-lane cars
+        # halt like a queue at a light, never overlapping GT boxes
+        gap = 1.5 + 6.0 * (i // 2) + float(rng.uniform(0.0, 1.5))
+        if i % 3 != 2:  # forward lanes, approaching from -x
             vehicles.append({
                 "start": (crosswalk_x - d - gap, center_y("fwd")),
                 "velocity": (v0, 0.0), "yaw": 0.0,

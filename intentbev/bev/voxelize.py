@@ -135,6 +135,14 @@ def voxelize_packed(
     flat = (row * w + col) * c + channel
     flat = jnp.where(ok, flat, h * w * c)  # out-of-range -> dropped
 
+    # NOTE (v5e, round 3): this flat 1-D scatter is deliberate. XLA lowers
+    # it to a custom fusion with a T(1024)(128) output tiling at a
+    # data-independent 14.8 ms/batch-8 (plus a 5.9 ms relayout to the
+    # patch-embed conv's T(8,128) layout). Multi-dim index forms measured
+    # BETTER standalone (3-D indices: order-independent, ~30 ms faster)
+    # but WORSE in-model (XLA still emits the same flat custom fusion,
+    # then normalizes [B,H,W,C] through [B,C,H,W] adding ~12.6 ms of
+    # copies: 58.8 vs 60.8 fps e2e). See docs/PERF.md "voxelizer scatter".
     bev = jnp.zeros((h * w * c,), dtype=out_dtype)
     if jnp.issubdtype(out_dtype, jnp.integer):
         # integer target (u8 serving path: AV2 intensity is integral 0-255,

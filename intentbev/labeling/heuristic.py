@@ -76,13 +76,39 @@ class MapContext:
             self._tree = None
 
     def nearest_lane(self, xy: np.ndarray, radius: float):
-        """-> (lane_id, dist) or (None, inf)."""
+        """-> (lane_id, dist) or (None, inf).
+
+        av2's ``get_nearby_lane_segments`` distance (which the reference
+        minimises over, heuristic_labeling.py:66-69) is the distance to the
+        lane POLYGON — zero for a point inside the lane — not to sampled
+        boundary points. A pure boundary-point KD-tree gets this wrong for
+        in-lane points (a car at lane center is equidistant from its own
+        and the adjacent lane's shared boundary, so the "nearest" lane is a
+        coin flip and downstream containment fails ~half the time). So:
+        query candidate lanes by boundary proximity, then prefer any lane
+        that CONTAINS the point (distance 0), falling back to boundary
+        distance.
+        """
         if self._tree is None:
             return None, np.inf
-        dist, idx = self._tree.query(xy, k=1)
-        if dist > radius:
+        k = min(16, len(self._pts))
+        dists, idxs = self._tree.query(xy, k=k)
+        dists, idxs = np.atleast_1d(dists), np.atleast_1d(idxs)
+        if dists[0] > radius:
             return None, np.inf
-        return int(self._ids[idx]), float(dist)
+        pt = np.asarray(xy, dtype=np.float64).reshape(1, 2)
+        seen: set[int] = set()
+        for d, i in zip(dists, idxs):
+            if d > radius:
+                break
+            lid = int(self._ids[i])
+            if lid in seen:
+                continue
+            seen.add(lid)
+            poly = self.lane_polygon(lid)
+            if poly is not None and bool(_points_in_polygon(pt, poly)[0]):
+                return lid, 0.0
+        return int(self._ids[idxs[0]]), float(dists[0])
 
     def lane_polygon(self, lane_id: int) -> np.ndarray | None:
         lane = self.lanes.get(lane_id)
