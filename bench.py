@@ -31,11 +31,12 @@ import numpy as np
 
 
 def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
-                int8: bool = False):
+                int8: bool = False, cells: bool = False):
     from intentbev.configs import default_cnn_config, default_vit_config
     from intentbev.boxes.anchors import generate_anchors
     from intentbev.boxes.nms import batched_postprocess
-    from intentbev.bev.voxelize import voxelize_packed
+    from intentbev.bev.voxelize import (
+        dedup_cells_host, voxelize_cells, voxelize_packed)
     from intentbev.models import IntentNetCNN, IntentNetViT
 
     on_tpu = jax.default_backend() == "tpu"
@@ -67,9 +68,18 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
 
     @jax.jit
     def infer(variables, points, points_valid, map_bev):
-        lidar = jax.vmap(
-            lambda p, v: voxelize_packed(p, v, g, out_dtype=jnp.bfloat16)
-        )(points, points_valid)
+        if cells:
+            # host-pre-reduced (cell_id, max) transport: the loader's
+            # per-cell max-combine moves to the host (where it overlaps
+            # device compute) and the device scatter carries the
+            # unique+sorted guarantees — see voxelize.dedup_cells_host
+            lidar = jax.vmap(
+                lambda i, v: voxelize_cells(i, v, g, out_dtype=jnp.bfloat16)
+            )(points, points_valid)
+        else:
+            lidar = jax.vmap(
+                lambda p, v: voxelize_packed(p, v, g, out_dtype=jnp.bfloat16)
+            )(points, points_valid)
         cls_l, box_d, int_l = model.apply(variables, lidar, map_bev)
         det = batched_postprocess(
             cls_l, box_d, int_l, anchors,
@@ -81,7 +91,7 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
         # chain a scalar of the result back into the points so iteration i+1
         # data-depends on iteration i — guarantees every step really executes
         # (some runtimes elide computations with unconsumed outputs)
-        chained = points + 0.0 * jnp.sum(det.scores)
+        chained = points + (0.0 * jnp.sum(det.scores)).astype(points.dtype)
         return det, chained
 
     rng = np.random.default_rng(0)
@@ -94,6 +104,20 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
     map_bev = (rng.uniform(0, 1, (batch_size, g.height_px, g.width_px, g.map_channels))
                < 0.05).astype(np.float32)
 
+    if cells:
+        ids = np.empty((batch_size, s * points_per_sweep), np.int32)
+        vals = np.empty((batch_size, s * points_per_sweep), np.float32)
+        ones = np.ones((s, points_per_sweep), bool)
+        for b in range(batch_size):
+            ids[b], vals[b] = dedup_cells_host(pts[b], ones, g)
+        args = (
+            variables,
+            jax.device_put(jnp.asarray(ids)),
+            jax.device_put(jnp.asarray(vals)),
+            jax.device_put(jnp.asarray(map_bev)),
+        )
+        return infer, args
+
     args = (
         variables,
         jax.device_put(jnp.asarray(pts)),
@@ -104,9 +128,10 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
 
 
 def run_mode(metric: str, model_name: str, int8: bool = False,
-             batch_size: int = 8, points_per_sweep: int = 16384) -> None:
+             batch_size: int = 8, points_per_sweep: int = 16384,
+             cells: bool = False) -> None:
     infer, args = build_bench(batch_size, points_per_sweep,
-                              model_name=model_name, int8=int8)
+                              model_name=model_name, int8=int8, cells=cells)
     variables, points, points_valid, map_bev = args
 
     # compile + warmup
@@ -140,6 +165,11 @@ def main():
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
 
+    if "--cells" in sys.argv:
+        # experimental host-pre-reduced cell transport (docs/PERF.md)
+        run_mode("bev_frames_per_sec_per_chip_cells", "vit", batch_size=batch,
+                 cells=True)
+        return
     if model == "cnn":
         run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
         return

@@ -41,6 +41,35 @@ class TestVoxelizer:
         got = np.asarray(voxelize_packed(jnp.asarray(packed), jnp.asarray(valid), grid))
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_cell_transport_matches_packed(self, rng):
+        """Host dedup (sorted-unique per-cell max) + device unique/sorted
+        scatter must reproduce voxelize_packed bitwise — bf16 cast commutes
+        with max, so host f32 reduction then cast equals device bf16 max."""
+        from intentbev.bev.voxelize import dedup_cells_host, voxelize_cells
+
+        grid = SMALL_GRID
+        pts = np.stack([
+            rng.uniform(-15, 10, (2, 512)),
+            rng.uniform(-12, 12, (2, 512)),
+            rng.uniform(-3, 5, (2, 512)),
+            rng.uniform(0, 255, (2, 512)),
+        ], axis=-1).astype(np.float32)
+        valid = rng.uniform(0, 1, (2, 512)) < 0.9
+        for out_dtype in (jnp.float32, jnp.bfloat16):
+            want = np.asarray(voxelize_packed(
+                jnp.asarray(pts), jnp.asarray(valid), grid, out_dtype=out_dtype))
+            ids, vals = dedup_cells_host(pts, valid, grid)
+            assert ids.shape == vals.shape == (2 * 512,)
+            assert np.all(np.diff(ids.astype(np.int64)) > 0), "ids sorted+unique"
+            got = np.asarray(voxelize_cells(
+                jnp.asarray(ids), jnp.asarray(vals), grid, out_dtype=out_dtype))
+            np.testing.assert_array_equal(got, want)
+
+        # all-invalid sample -> empty BEV, padding ids only
+        ids, vals = dedup_cells_host(pts, np.zeros_like(valid), grid)
+        got = np.asarray(voxelize_cells(jnp.asarray(ids), jnp.asarray(vals), grid))
+        assert got.sum() == 0
+
     def test_u8_out_dtype_exact_for_integral_intensity(self, rng):
         """u8 serving target (docs/PERF.md: measured-neutral on v5e, kept
         as a transport option): exact vs the f32 oracle when intensities
