@@ -23,10 +23,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Mosaic's default scoped-VMEM stack limit (16 MB) is conservative; the
-# backward kernels' working sets legitimately exceed it under double
-# buffering. Raised limit validated by compile + run on v5e.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+from .mosaic import kernel_params
+
+# VMEM limit + optional megacore dimension_semantics (see ops/mosaic.py);
+# all grids here are 1-D over independent row blocks.
+_COMPILER_PARAMS = kernel_params(1)
 
 BLOCK_ROWS = 1024
 

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+from .mosaic import kernel_params
+
+# VMEM limit + optional megacore dimension_semantics (see ops/mosaic.py);
+# grid is (batch, patch-row-group) — fully parallel.
+_COMPILER_PARAMS = kernel_params(2)
 
 # Patch rows handled per program. 5 gives M = 5*90 = 450 tokens per matmul
 # (sublane pad 450->456, ~1%) and a 16.7 MB input band; 50 % 5 == 0.
