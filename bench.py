@@ -31,13 +31,16 @@ import numpy as np
 
 
 def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
-                int8: bool = False, cells: bool = False):
+                int8: bool = False, cells: bool = False,
+                voxembed: bool = False):
     from intentbev.configs import default_cnn_config, default_vit_config
     from intentbev.boxes.anchors import generate_anchors
     from intentbev.boxes.nms import batched_postprocess
     from intentbev.bev.voxelize import (
         dedup_cells_host, voxelize_cells, voxelize_packed)
     from intentbev.models import IntentNetCNN, IntentNetViT
+    from intentbev.ops.voxel_embed import (
+        VoxelChunks, build_voxel_chunks, stack_voxel_chunks)
 
     on_tpu = jax.default_backend() == "tpu"
     if model_name == "vit":
@@ -65,6 +68,23 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
 
     anchors = jnp.asarray(generate_anchors(g, cfg.anchors))
     ev = cfg.eval
+
+    @jax.jit
+    def infer_chunks(variables, chunks, map_bev):
+        # fused voxelize+patch-embed serving path (ops.voxel_embed): the
+        # lidar stream enters as host-built placement chunks; the dense
+        # BEV never exists in HBM (no scatter / layout copy / conv)
+        cls_l, box_d, int_l = model.apply(variables, chunks, map_bev)
+        det = batched_postprocess(
+            cls_l, box_d, int_l, anchors,
+            confidence_threshold=ev.confidence_threshold,
+            nms_iou_threshold=ev.nms_iou_threshold,
+            max_pre_nms=ev.max_pre_nms,
+            max_detections=ev.max_detections,
+        )
+        chained = chunks._replace(
+            val=chunks.val + (0.0 * jnp.sum(det.scores)).astype(chunks.val.dtype))
+        return det, chained
 
     @jax.jit
     def infer(variables, points, points_valid, map_bev):
@@ -104,6 +124,17 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
     map_bev = (rng.uniform(0, 1, (batch_size, g.height_px, g.width_px, g.map_channels))
                < 0.05).astype(np.float32)
 
+    if voxembed:
+        ones = np.ones((s, points_per_sweep), bool)
+        chunks = stack_voxel_chunks([
+            build_voxel_chunks(pts[b], ones, g, cfg.vit.patch_size)[0]
+            for b in range(batch_size)
+        ])
+        chunks = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a)), chunks)
+        return infer_chunks, (variables, chunks,
+                              jax.device_put(jnp.asarray(map_bev)))
+
     if cells:
         ids = np.empty((batch_size, s * points_per_sweep), np.int32)
         vals = np.empty((batch_size, s * points_per_sweep), np.float32)
@@ -129,20 +160,23 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
 
 def run_mode(metric: str, model_name: str, int8: bool = False,
              batch_size: int = 8, points_per_sweep: int = 16384,
-             cells: bool = False) -> None:
+             cells: bool = False, voxembed: bool = False) -> None:
     infer, args = build_bench(batch_size, points_per_sweep,
-                              model_name=model_name, int8=int8, cells=cells)
-    variables, points, points_valid, map_bev = args
+                              model_name=model_name, int8=int8, cells=cells,
+                              voxembed=voxembed)
+    variables, chained, *rest = args
 
     # compile + warmup
-    out = infer(variables, points, points_valid, map_bev)
+    out = infer(variables, chained, *rest)
     jax.block_until_ready(out)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        det, points = infer(variables, points, points_valid, map_bev)
-    jax.block_until_ready((det, points))
+        # iteration i+1's input data-depends on iteration i's output (the
+        # returned `chained` arg), so no dispatch can be elided
+        det, chained = infer(variables, chained, *rest)
+    jax.block_until_ready((det, chained))
     dt = time.perf_counter() - t0
 
     frames_per_sec = batch_size * iters / dt
@@ -169,6 +203,11 @@ def main():
         # experimental host-pre-reduced cell transport (docs/PERF.md)
         run_mode("bev_frames_per_sec_per_chip_cells", "vit", batch_size=batch,
                  cells=True)
+        return
+    if "--voxembed" in sys.argv:
+        # fused voxelize+patch-embed serving path (ops/voxel_embed.py)
+        run_mode("bev_frames_per_sec_per_chip_voxembed", "vit",
+                 batch_size=batch, voxembed=True)
         return
     if model == "cnn":
         run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)

@@ -476,22 +476,37 @@ class ViTEncoder(nn.Module):
     use_flash: bool = True
     remat: bool = False
     dtype: Any = jnp.float32
+    grid_hw: tuple[int, int] | None = None  # required for VoxelChunks input
 
     @nn.compact
-    def __call__(self, x_nhwc: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x_nhwc, deterministic: bool = True) -> jnp.ndarray:
+        from ..ops.voxel_embed import VoxelChunks, voxel_embed_tokens
+
         cfg = self.cfg
         p = cfg.patch_size
-        b, h, w, _ = x_nhwc.shape
+        if isinstance(x_nhwc, VoxelChunks):
+            # Fused voxelize+patch-embed serving path (ops.voxel_embed):
+            # the host ships placement chunks instead of a dense BEV; the
+            # kernel builds each BEV band in VMEM and embeds it in place —
+            # the [B, H, W, C] BEV never exists in HBM (no XLA scatter, no
+            # layout copy, no conv). Same conv params => same checkpoints.
+            assert self.grid_hw is not None, "grid_hw required for chunks"
+            h, w = self.grid_hw
+            b = x_nhwc.wid.shape[0]
+        else:
+            b, h, w, _ = x_nhwc.shape
         assert h % p == 0 and w % p == 0, f"grid {h}x{w} not divisible by patch {p}"
         gh, gw = h // p, w // p
         n = gh * gw
 
-        use_pallas_embed = (
-            cfg.fuse_patch_embed and deterministic
-            and x_nhwc.shape[-1] >= 128
-            and jax.default_backend() == "tpu"
-        )
-        if use_pallas_embed:
+        if isinstance(x_nhwc, VoxelChunks):
+            wconv, bconv = _ConvParams(
+                p, self.in_channels, cfg.embed_dim, name="patch_embed")()
+            tokens = voxel_embed_tokens(
+                x_nhwc, wconv.astype(self.dtype), bconv, p, (h, w))
+        elif (cfg.fuse_patch_embed and deterministic
+              and x_nhwc.shape[-1] >= 128
+              and jax.default_backend() == "tpu"):
             # Fused Pallas patch-embed (ops.patch_embed): consumes the BEV
             # in its scatter-native layout — XLA's ~6 ms/step conv-input
             # relayout (`reshape.2`, docs/PERF.md) disappears. Same params
@@ -601,19 +616,22 @@ class TwoStreamViTBackbone(nn.Module):
 
     @nn.compact
     def __call__(
-        self, lidar_bev: jnp.ndarray, map_bev: jnp.ndarray, train: bool = False
+        self, lidar_bev, map_bev: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         cfg = self.cfg
         gh, gw = cfg.grid_size
         deterministic = not train
 
         def process_stream(x, name):
+            in_ch = (cfg.lidar_input_channels if name == "lidar"
+                     else cfg.map_input_channels)
             tokens = ViTEncoder(
                 cfg,
-                in_channels=x.shape[-1],
+                in_channels=in_ch,
                 use_flash=cfg.use_flash_attention,
                 remat=self.remat,
                 dtype=self.dtype,
+                grid_hw=cfg.img_size,
                 name=f"vit_{name}",
             )(x, deterministic)
             patch_tokens = tokens[:, 1:]  # strip CLS (model_vit.py:119)
@@ -666,9 +684,15 @@ class IntentNetViT(nn.Module):
 
     @nn.compact
     def __call__(
-        self, lidar_bev: jnp.ndarray, map_bev: jnp.ndarray, train: bool = False
+        self, lidar_bev, map_bev: jnp.ndarray, train: bool = False
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        lidar_bev = ensure_nhwc(lidar_bev, self.cfg.lidar_input_channels).astype(self.dtype)
+        from ..ops.voxel_embed import VoxelChunks
+
+        if not isinstance(lidar_bev, VoxelChunks):
+            # lidar may instead arrive as host-built placement chunks for
+            # the fused voxelize+patch-embed serving path (ops.voxel_embed)
+            lidar_bev = ensure_nhwc(
+                lidar_bev, self.cfg.lidar_input_channels).astype(self.dtype)
         map_bev = ensure_nhwc(map_bev, self.cfg.map_input_channels).astype(self.dtype)
 
         features = TwoStreamViTBackbone(

@@ -1,0 +1,155 @@
+"""Fused voxelize+patch-embed vs conv(voxelize) oracle (interpret mode)."""
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from intentbev.configs import GridConfig
+from intentbev.bev.voxelize import voxelize_packed
+from intentbev.ops import voxel_embed as ve
+
+GRID = GridConfig(height_px=64, width_px=96, lidar_height_channels=4,
+                  lidar_sweeps=2)
+PATCH = 8
+
+
+def _random_points(rng, s=2, p=500):
+    """Points spanning in/out of grid bounds and z range, with duplicates."""
+    pts = np.empty((s, p, 4), np.float32)
+    pts[..., 0] = rng.uniform(-20, 10, (s, p))   # x: rows (grid is 12.8 m tall)
+    pts[..., 1] = rng.uniform(-12, 12, (s, p))   # y: cols
+    pts[..., 2] = rng.uniform(-3, 5, (s, p))     # z: spans outside [-2, 3.8)
+    pts[..., 3] = rng.uniform(0, 255, (s, p))
+    # force exact duplicates of the same cell with different intensities
+    pts[:, 1] = pts[:, 0]
+    pts[:, 1, 3] = rng.uniform(0, 255, (s,))
+    valid = rng.uniform(size=(s, p)) < 0.9
+    return pts, valid
+
+
+def _oracle_tokens(pts, valid, kernel, bias):
+    bev = voxelize_packed(jnp.asarray(pts), jnp.asarray(valid), GRID)
+    y = jax.lax.conv_general_dilated(
+        bev[None].astype(kernel.dtype), kernel,
+        window_strides=(PATCH, PATCH), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    return np.asarray(y.reshape(1, -1, y.shape[-1]), np.float32)
+
+
+@pytest.fixture
+def weights(rng):
+    c = GRID.lidar_total_channels
+    k = jnp.asarray(rng.normal(0, 0.05, (PATCH, PATCH, c, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.02, 16).astype(np.float32))
+    return k, b
+
+
+class TestVoxelEmbed:
+    @pytest.mark.parametrize("strategy", ["reshape", "dot_t"])
+    def test_parity_vs_conv_voxelize(self, rng, weights, strategy, monkeypatch):
+        monkeypatch.setattr(ve, "_STRATEGY", strategy)
+        k, b = weights
+        pts, valid = _random_points(rng)
+        chunks, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+        chunks = jax.tree_util.tree_map(jnp.asarray, chunks)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ve.voxel_embed_tokens(
+                chunks, k, b, PATCH, (GRID.height_px, GRID.width_px)))
+        want = _oracle_tokens(pts, valid, k, b)
+        np.testing.assert_allclose(got[0], want[0], atol=2e-3, rtol=1e-4)
+
+    def test_batch_stacking(self, rng, weights):
+        k, b = weights
+        samples, wants = [], []
+        for _ in range(3):
+            pts, valid = _random_points(rng, p=300)
+            c, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+            samples.append(c)
+            wants.append(_oracle_tokens(pts, valid, k, b)[0])
+        chunks = jax.tree_util.tree_map(
+            jnp.asarray, ve.stack_voxel_chunks(samples))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ve.voxel_embed_tokens(
+                chunks, k, b, PATCH, (GRID.height_px, GRID.width_px)))
+        np.testing.assert_allclose(got, np.stack(wants), atol=2e-3, rtol=1e-4)
+
+    def test_bf16_matches_bf16_bev_path(self, rng, weights):
+        """bf16 kernel/scratch == conv over the bf16 voxelizer output."""
+        k, b = weights
+        pts, valid = _random_points(rng)
+        bev16 = voxelize_packed(jnp.asarray(pts), jnp.asarray(valid), GRID,
+                                out_dtype=jnp.bfloat16)
+        want = jax.lax.conv_general_dilated(
+            bev16[None], k.astype(jnp.bfloat16),
+            window_strides=(PATCH, PATCH), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        want = np.asarray(want.reshape(1, -1, 16), np.float32)
+        chunks, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+        chunks = jax.tree_util.tree_map(jnp.asarray, chunks)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ve.voxel_embed_tokens(
+                chunks, k.astype(jnp.bfloat16), b, PATCH,
+                (GRID.height_px, GRID.width_px))).astype(np.float32)
+        np.testing.assert_allclose(got, want, atol=0.5, rtol=0.05)
+
+    def test_empty_sample(self, weights):
+        k, b = weights
+        pts = np.zeros((2, 10, 4), np.float32)
+        valid = np.zeros((2, 10), bool)
+        chunks, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+        chunks = jax.tree_util.tree_map(jnp.asarray, chunks)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ve.voxel_embed_tokens(
+                chunks, k, b, PATCH, (GRID.height_px, GRID.width_px)))
+        want = _oracle_tokens(pts, valid, k, b)
+        np.testing.assert_allclose(got[0], want[0], atol=2e-3, rtol=1e-4)
+
+    def test_overflow_raise_and_drop(self, rng, weights):
+        pts, valid = _random_points(rng, p=2000)
+        with pytest.raises(ValueError, match="chunks"):
+            ve.build_voxel_chunks(pts, valid, GRID, PATCH, num_chunks=8)
+        chunks, nc = ve.build_voxel_chunks(
+            pts, valid, GRID, PATCH, num_chunks=8, on_overflow="drop")
+        assert nc == 8 and chunks.wid.shape[2] == 8
+        assert int(np.max(chunks.count)) <= 8
+
+    def test_fixed_num_chunks_shape_stable(self, rng):
+        pts, valid = _random_points(rng, p=100)
+        c1, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH, num_chunks=64)
+        pts2, valid2 = _random_points(rng, p=400)
+        c2, _ = ve.build_voxel_chunks(pts2, valid2, GRID, PATCH, num_chunks=64)
+        assert c1.wid.shape == c2.wid.shape
+
+
+class TestModelIntegration:
+    def test_intentnet_vit_chunks_match_bev(self, rng):
+        """IntentNetViT.apply with VoxelChunks == apply with the dense BEV
+        (same params — the chunks path reuses the conv's kernel/bias)."""
+        import dataclasses
+        from intentbev.configs import tiny_test_config
+        from intentbev.models import build_model
+
+        cfg = dataclasses.replace(tiny_test_config(), model_family="vit")
+        g = cfg.grid
+        model = build_model(cfg)
+        pts, valid = _random_points(rng, s=g.lidar_sweeps, p=400)
+        bev = voxelize_packed(jnp.asarray(pts), jnp.asarray(valid), g)[None]
+        mp = jnp.asarray(
+            rng.normal(0, 1, (1, g.height_px, g.width_px, g.map_channels))
+            .astype(np.float32))
+        params = model.init(jax.random.key(0), bev, mp)
+        want = model.apply(params, bev, mp)
+
+        chunks, _ = ve.build_voxel_chunks(
+            np.asarray(pts), np.asarray(valid), g, cfg.vit.patch_size)
+        chunks = jax.tree_util.tree_map(jnp.asarray, chunks)
+        with pltpu.force_tpu_interpret_mode():
+            got = model.apply(params, chunks, mp)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
