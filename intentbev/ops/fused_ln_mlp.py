@@ -40,7 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_mlp import _COMPILER_PARAMS, _gelu, _dgelu
 
-BLOCK_ROWS_LNMLP = 256
+import os as _os
+
+# Row-block sweep knob for on-chip tuning (docs/PERF.md: the fused tails
+# run at ~126 TFLOPS eff.; larger blocks amortize per-program overhead at
+# the cost of VMEM working set). 256 is the validated default.
+BLOCK_ROWS_LNMLP = int(_os.environ.get("INTENTBEV_LNMLP_BLOCK", "256"))
 
 
 def _pad_rows(n: int) -> int:

@@ -31,7 +31,10 @@ from .mosaic import kernel_params
 # fused_mlp_int8, whose grids are 1-D row blocks too.
 _COMPILER_PARAMS = kernel_params(1)
 
-BLOCK_ROWS_MLP = 256
+import os as _os
+
+# Row-block sweep knob for on-chip tuning; 256 is the validated default.
+BLOCK_ROWS_MLP = int(_os.environ.get("INTENTBEV_MLP_BLOCK", "256"))
 
 _SQRT_2 = math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
