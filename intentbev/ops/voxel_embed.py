@@ -142,7 +142,18 @@ def build_voxel_chunks(
     ckey = win_global * mcw + rank // cap
     k_in_chunk = (rank % cap).astype(np.int64)
 
-    uc, inv = np.unique(ckey, return_inverse=True)
+    # ckey is non-decreasing (cells arrive sorted by flat id, so win_global
+    # is non-decreasing and rank//cap increases within a window) — run
+    # detection replaces np.unique's redundant O(n log n) sort
+    if n:
+        cnew = np.empty(n, bool)
+        cnew[0] = True
+        cnew[1:] = ckey[1:] != ckey[:-1]
+        inv = np.cumsum(cnew) - 1
+        uc = ckey[cnew]
+    else:
+        inv = np.zeros(0, np.int64)
+        uc = ckey
     cwin = uc // mcw
     cband = cwin // wins_per_band
     m = len(uc)
