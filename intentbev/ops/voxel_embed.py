@@ -64,6 +64,11 @@ CAP = 64     # max cells per chunk (contraction depth of one placement)
 #            Mosaic lowers it natively; A/B this on hardware.
 _STRATEGY = os.environ.get("INTENTBEV_VOXEMBED_STRATEGY", "reshape")
 
+# Chunk-loop unroll factor. Chunks past a band's count are all-zero, which
+# makes their update U == 0 (val 0 -> X 0), so the loop can safely over-run
+# the count to the next unroll multiple — no masking needed.
+_UNROLL = int(os.environ.get("INTENTBEV_VOXEMBED_UNROLL", "1"))
+
 
 class VoxelChunks(NamedTuple):
     """Host-built placement chunks for one batch.
@@ -233,7 +238,7 @@ def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
 
     scratch_ref[...] = jnp.zeros_like(scratch_ref)
 
-    def body(g, carry):
+    def place(g):
         win = wid_ref[0, 0, g]
         sl_v = sl_ref[0, 0, g]    # [1, cap] lane-major
         ch_v = ch_ref[0, 0, g]
@@ -265,9 +270,24 @@ def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
         scratch_ref[win] = (
             scratch_ref[win].astype(jnp.float32) + u
         ).astype(scratch_ref.dtype)
-        return carry
 
-    jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
+    if _UNROLL > 1:
+        # chunk arrays are sized to a multiple of 8 (builder), so any
+        # unroll in {2, 4, 8} can over-run count without going out of range
+        assert wid_ref.shape[-1] % _UNROLL == 0, (wid_ref.shape, _UNROLL)
+
+        def body(g, carry):
+            for i in range(_UNROLL):
+                place(g * _UNROLL + i)
+            return carry
+
+        jax.lax.fori_loop(0, pl.cdiv(count_ref[0, 0], _UNROLL), body, 0)
+    else:
+        def body(g, carry):
+            place(g)
+            return carry
+
+        jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
 
     # --- patch-embed matmul phase (ops/patch_embed.py semantics) ---
     m = rows_pp * gw

@@ -153,3 +153,18 @@ class TestModelIntegration:
         for a, b in zip(got, want):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+class TestUnroll:
+    @pytest.mark.parametrize("unroll", [2, 8])
+    def test_unrolled_chunk_loop_matches(self, rng, weights, unroll, monkeypatch):
+        monkeypatch.setattr(ve, "_UNROLL", unroll)
+        k, b = weights
+        pts, valid = _random_points(rng)
+        chunks, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+        chunks = jax.tree_util.tree_map(jnp.asarray, chunks)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ve.voxel_embed_tokens(
+                chunks, k, b, PATCH, (GRID.height_px, GRID.width_px)))
+        want = _oracle_tokens(pts, valid, k, b)
+        np.testing.assert_allclose(got[0], want[0], atol=2e-3, rtol=1e-4)
