@@ -235,11 +235,14 @@ def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
     c = scratch_ref.shape[-1]
     d = w_ref.shape[-1]
     cdt = w_ref.dtype
+    # SMEM blocks must span the full (NB, NC) trailing dims, so the band
+    # dim is selected here rather than by the index map
+    band = pl.program_id(1)
 
     scratch_ref[...] = jnp.zeros_like(scratch_ref)
 
     def place(g):
-        win = wid_ref[0, 0, g]
+        win = wid_ref[0, band, g]
         sl_v = sl_ref[0, 0, g]    # [1, cap] lane-major
         ch_v = ch_ref[0, 0, g]
         va_v = val_ref[0, 0, g]
@@ -281,13 +284,13 @@ def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
                 place(g * _UNROLL + i)
             return carry
 
-        jax.lax.fori_loop(0, pl.cdiv(count_ref[0, 0], _UNROLL), body, 0)
+        jax.lax.fori_loop(0, pl.cdiv(count_ref[0, band], _UNROLL), body, 0)
     else:
         def body(g, carry):
             place(g)
             return carry
 
-        jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
+        jax.lax.fori_loop(0, count_ref[0, band], body, 0)
 
     # --- patch-embed matmul phase (ops/patch_embed.py semantics) ---
     m = rows_pp * gw
@@ -337,9 +340,9 @@ def voxel_embed_tokens(
         grid=(b, nb),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+            pl.BlockSpec((1, nb), lambda i, j: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nc), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nb, nc), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, nc, 1, cap), lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
