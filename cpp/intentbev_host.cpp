@@ -193,4 +193,91 @@ void ib_rotated_iou(const float* boxes1, int64_t n1, const float* boxes2,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Voxel placement-chunk builder for the fused voxelize+patch-embed kernel
+// (intentbev/ops/voxel_embed.py). Mirrors the numpy build_voxel_chunks
+// exactly: flat cell ids with f64 pixel math (matching numpy's float64
+// upcasting), per-cell max over duplicates, values clamped to >= 0
+// (reference zeros-init np.maximum.at semantics, utils.py:101-105), cells
+// grouped by `window`-pixel windows into chunks of <= cap cells.
+//
+// points [s, p, 4] f32 (x, y, z, intensity); valid [s, p] u8.
+// Outputs (caller-zeroed): wid i32[nb, nc]; sl/ch i32[nb, nc, cap];
+// val f32[nb, nc, cap]; count i32[nb]. Returns the largest per-band chunk
+// count the data NEEDS — if > nc, the excess chunks were dropped and the
+// caller decides whether to raise (mirrors on_overflow).
+// ---------------------------------------------------------------------------
+int64_t ib_build_chunks(const float* points, const uint8_t* valid, int64_t s,
+                        int64_t p, int64_t h, int64_t w, int64_t z_ch,
+                        double vox, double off_x, double off_y, double z_min,
+                        double z_max, int64_t window, int64_t cap, int64_t nb,
+                        int64_t nc, int32_t* wid, int32_t* sl, int32_t* ch,
+                        float* val, int32_t* count) {
+  const int64_t C = s * z_ch;
+  const int64_t band_px = (h / nb) * w;
+  const int64_t wins_per_band = band_px / window;
+  std::vector<std::pair<int64_t, float>> cells;
+  cells.reserve((size_t)(s * p));
+  for (int64_t i = 0; i < s; ++i) {
+    for (int64_t j = 0; j < p; ++j) {
+      if (!valid[i * p + j]) continue;
+      const float* pt = points + (i * p + j) * 4;
+      // float32 throughout: numpy's NEP-50 weak python scalars keep
+      // `off + y / vox` in f32, so f64 here would bin boundary points
+      // into different cells than the numpy builder / device voxelizer
+      const float x = pt[0], y = pt[1], z = pt[2];
+      const float voxf = (float)vox;
+      const int64_t col = (int64_t)std::floor((float)off_x + y / voxf);
+      const int64_t row = (int64_t)std::floor((float)off_y - x / voxf);
+      if (col < 0 || col >= w || row < 0 || row >= h) continue;
+      if (!(z >= (float)z_min && z < (float)z_max)) continue;
+      int64_t zi = (int64_t)std::floor(
+          (z - (float)z_min) / (float)(z_max - z_min) * (float)z_ch);
+      zi = std::max<int64_t>(0, std::min<int64_t>(zi, z_ch - 1));
+      const int64_t id = (row * w + col) * C + i * z_ch + zi;
+      cells.emplace_back(id, pt[3]);
+    }
+  }
+  std::sort(cells.begin(), cells.end(),
+            [](const std::pair<int64_t, float>& a,
+               const std::pair<int64_t, float>& b) { return a.first < b.first; });
+
+  const int64_t mcw = (window * C + cap - 1) / cap;
+  int64_t needed = 0;
+  int64_t prev_win = -1, rank = -1, prev_chunk_key = -1, local = -1;
+  const size_t n = cells.size();
+  for (size_t i = 0; i < n; ++i) {
+    float v = cells[i].second;
+    const int64_t id = cells[i].first;
+    while (i + 1 < n && cells[i + 1].first == id) {
+      ++i;
+      v = std::max(v, cells[i].second);
+    }
+    const int64_t pix = id / C;
+    const int64_t chn = id % C;
+    const int64_t win = pix / window;
+    const int64_t slot = pix % window;
+    const int64_t band = pix / band_px;
+    if (win != prev_win) { prev_win = win; rank = 0; } else { ++rank; }
+    const int64_t chunk_in_win = rank / cap;
+    const int64_t k = rank % cap;
+    const int64_t ckey = win * mcw + chunk_in_win;
+    if (ckey != prev_chunk_key) {
+      prev_chunk_key = ckey;
+      local = count[band];
+      if (local < nc) {
+        count[band] = (int32_t)(local + 1);
+        wid[band * nc + local] = (int32_t)(win % wins_per_band);
+      }
+      needed = std::max(needed, local + 1);
+    }
+    if (local >= nc) continue;  // overflow chunk dropped whole
+    const int64_t base = (band * nc + local) * cap + k;
+    sl[base] = (int32_t)slot;
+    ch[base] = (int32_t)chn;
+    val[base] = v < 0.0f ? 0.0f : v;
+  }
+  return needed;
+}
+
 }  // extern "C"

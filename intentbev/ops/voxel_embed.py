@@ -100,14 +100,18 @@ def build_voxel_chunks(
     cap: int = CAP,
     num_chunks: int | None = None,
     on_overflow: str = "raise",
+    use_native: bool = True,
 ) -> tuple[VoxelChunks, int]:
-    """One sample's packed points -> placement chunks (numpy, host).
+    """One sample's packed points -> placement chunks (host).
 
     points f32[S, P, 4], valid bool[S, P]. Returns (chunks with leading
     batch dim of 1, num_chunks actually used). With ``num_chunks=None``
     the chunk arrays are sized to the sample (rounded up to a multiple of
     8); pass a fixed value for shape-stable streaming. ``on_overflow``:
     'raise' or 'drop' (drop whole excess chunks, rarest-window cells last).
+    ``use_native`` prefers the C++ builder (cpp ib_build_chunks, ~10x the
+    numpy throughput) when the host library is available; both produce
+    identical arrays (parity-tested).
     """
     from ..bev.voxelize import dedup_cells_host
 
@@ -121,6 +125,38 @@ def build_voxel_chunks(
         raise ValueError(f"band pixels {band_px} not divisible by window {window}")
     nb = h // rows_band
     wins_per_band = band_px // window
+
+    if use_native:
+        from ..utils.native import build_chunks_native
+
+        nc0 = num_chunks if num_chunks is not None else max(
+            8, -(-(int(np.count_nonzero(valid)) // 48) // 8) * 8)
+        out = build_chunks_native(
+            points, valid, grid, window=window, cap=cap, nb=nb, nc=nc0)
+        if out is not None:
+            wid, sl, ch, val, count, needed = out
+            if needed > nc0:
+                if num_chunks is not None:
+                    if on_overflow == "raise":
+                        raise ValueError(
+                            f"band needs {needed} chunks > num_chunks={nc0}; "
+                            "raise num_chunks or pass on_overflow='drop'"
+                        )
+                else:  # auto-size: retry once at the exact requirement
+                    nc0 = -(-needed // 8) * 8
+                    wid, sl, ch, val, count, needed = build_chunks_native(
+                        points, valid, grid, window=window, cap=cap,
+                        nb=nb, nc=nc0)
+            if num_chunks is None and nc0 > 8:
+                tight = max(8, -(-max(int(count.max()), 1) // 8) * 8)
+                if tight < nc0:  # trim the over-guess (numpy-size parity)
+                    wid, sl, ch, val = (a[:, :tight] for a in (wid, sl, ch, val))
+                    nc0 = tight
+            return (
+                VoxelChunks(wid=wid[None], sl=sl[None], ch=ch[None],
+                            val=val[None], count=count[None]),
+                nc0,
+            )
 
     ids, vals = dedup_cells_host(points, valid, grid)
     n_real = int(np.searchsorted(ids, h * w * c))

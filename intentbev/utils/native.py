@@ -74,6 +74,14 @@ if NATIVE_AVAILABLE:
         ctypes.c_void_p, _i64, ctypes.c_void_p, ctypes.c_void_p]
     native_lib.ib_rotated_iou.argtypes = [
         ctypes.c_void_p, _i64, ctypes.c_void_p, _i64, ctypes.c_void_p]
+    if hasattr(native_lib, "ib_build_chunks"):  # stale pre-built .so guard
+        _f64 = ctypes.c_double
+        native_lib.ib_build_chunks.restype = _i64
+        native_lib.ib_build_chunks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, _i64, _i64, _i64, _i64, _i64,
+            _f64, _f64, _f64, _f64, _f64, _i64, _i64, _i64, _i64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
 
 
 def fill_polygon_native(mask: np.ndarray, pts: np.ndarray) -> bool:
@@ -142,3 +150,31 @@ def rotated_iou_native(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray | N
         b1.ctypes.data, b1.shape[0], b2.ctypes.data, b2.shape[0],
         out.ctypes.data)
     return out
+
+
+def build_chunks_native(
+    points: np.ndarray, valid: np.ndarray, grid, *,
+    window: int, cap: int, nb: int, nc: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int] | None:
+    """C++ twin of ops.voxel_embed.build_voxel_chunks's core (sort + dedup +
+    window grouping). Returns (wid, sl, ch, val, count, needed_nc) or None
+    if the native lib is unavailable or predates ib_build_chunks."""
+    if not NATIVE_AVAILABLE or not hasattr(native_lib, "ib_build_chunks"):
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    vld = np.ascontiguousarray(valid, dtype=np.uint8)
+    s, p = vld.shape
+    wid = np.zeros((nb, nc), np.int32)
+    sl = np.zeros((nb, nc, 1, cap), np.int32)
+    ch = np.zeros((nb, nc, 1, cap), np.int32)
+    val = np.zeros((nb, nc, 1, cap), np.float32)
+    count = np.zeros((nb,), np.int32)
+    needed = native_lib.ib_build_chunks(
+        pts.ctypes.data, vld.ctypes.data, s, p,
+        grid.height_px, grid.width_px, grid.lidar_height_channels,
+        float(grid.voxel_size_m), float(grid.pixel_offset_x),
+        float(grid.pixel_offset_y), float(grid.z_min), float(grid.z_max),
+        window, cap, nb, nc,
+        wid.ctypes.data, sl.ctypes.data, ch.ctypes.data, val.ctypes.data,
+        count.ctypes.data)
+    return wid, sl, ch, val, count, int(needed)

@@ -168,3 +168,31 @@ class TestUnroll:
                 chunks, k, b, PATCH, (GRID.height_px, GRID.width_px)))
         want = _oracle_tokens(pts, valid, k, b)
         np.testing.assert_allclose(got[0], want[0], atol=2e-3, rtol=1e-4)
+
+
+class TestNativeBuilder:
+    def test_native_matches_numpy(self, rng):
+        from intentbev.utils.native import NATIVE_AVAILABLE, native_lib
+        if not NATIVE_AVAILABLE or not hasattr(native_lib, "ib_build_chunks"):
+            pytest.skip("native lib unavailable")
+        pts, valid = _random_points(rng, p=800)
+        a, nc_a = ve.build_voxel_chunks(pts, valid, GRID, PATCH, use_native=True)
+        b, nc_b = ve.build_voxel_chunks(pts, valid, GRID, PATCH, use_native=False)
+        assert nc_a == nc_b
+        for name, x, y in zip(a._fields, a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+
+    def test_native_fixed_nc_and_overflow(self, rng):
+        from intentbev.utils.native import NATIVE_AVAILABLE, native_lib
+        if not NATIVE_AVAILABLE or not hasattr(native_lib, "ib_build_chunks"):
+            pytest.skip("native lib unavailable")
+        pts, valid = _random_points(rng, p=2000)
+        with pytest.raises(ValueError, match="chunks"):
+            ve.build_voxel_chunks(pts, valid, GRID, PATCH, num_chunks=8,
+                                  use_native=True)
+        a, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH, num_chunks=8,
+                                     on_overflow="drop", use_native=True)
+        b, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH, num_chunks=8,
+                                     on_overflow="drop", use_native=False)
+        for name, x, y in zip(a._fields, a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
