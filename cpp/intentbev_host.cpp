@@ -216,7 +216,12 @@ int64_t ib_build_chunks(const float* points, const uint8_t* valid, int64_t s,
   const int64_t C = s * z_ch;
   const int64_t band_px = (h / nb) * w;
   const int64_t wins_per_band = band_px / window;
-  std::vector<std::pair<int64_t, float>> cells;
+  // (cell id, value) packed into one u64: id (< 2^27 at full scale) in the
+  // high 32 bits, the f32 bit pattern in the low 32. Values are clamped to
+  // >= 0 BEFORE packing (max-then-clamp == clamp-then-max), so the float
+  // bits are order-preserving as u32 and the per-cell MAX is simply the
+  // LAST element of each sorted id-run — one scalar sort, no pair structs.
+  std::vector<uint64_t> cells;
   cells.reserve((size_t)(s * p));
   for (int64_t i = 0; i < s; ++i) {
     for (int64_t j = 0; j < p; ++j) {
@@ -235,24 +240,24 @@ int64_t ib_build_chunks(const float* points, const uint8_t* valid, int64_t s,
           (z - (float)z_min) / (float)(z_max - z_min) * (float)z_ch);
       zi = std::max<int64_t>(0, std::min<int64_t>(zi, z_ch - 1));
       const int64_t id = (row * w + col) * C + i * z_ch + zi;
-      cells.emplace_back(id, pt[3]);
+      const float vc = pt[3] < 0.0f ? 0.0f : pt[3];
+      uint32_t vb;
+      std::memcpy(&vb, &vc, 4);
+      cells.push_back(((uint64_t)id << 32) | vb);
     }
   }
-  std::sort(cells.begin(), cells.end(),
-            [](const std::pair<int64_t, float>& a,
-               const std::pair<int64_t, float>& b) { return a.first < b.first; });
+  std::sort(cells.begin(), cells.end());
 
   const int64_t mcw = (window * C + cap - 1) / cap;
   int64_t needed = 0;
   int64_t prev_win = -1, rank = -1, prev_chunk_key = -1, local = -1;
   const size_t n = cells.size();
   for (size_t i = 0; i < n; ++i) {
-    float v = cells[i].second;
-    const int64_t id = cells[i].first;
-    while (i + 1 < n && cells[i + 1].first == id) {
-      ++i;
-      v = std::max(v, cells[i].second);
-    }
+    const int64_t id = (int64_t)(cells[i] >> 32);
+    while (i + 1 < n && (int64_t)(cells[i + 1] >> 32) == id) ++i;
+    float v;
+    const uint32_t vb = (uint32_t)cells[i];
+    std::memcpy(&v, &vb, 4);
     const int64_t pix = id / C;
     const int64_t chn = id % C;
     const int64_t win = pix / window;
@@ -275,7 +280,7 @@ int64_t ib_build_chunks(const float* points, const uint8_t* valid, int64_t s,
     const int64_t base = (band * nc + local) * cap + k;
     sl[base] = (int32_t)slot;
     ch[base] = (int32_t)chn;
-    val[base] = v < 0.0f ? 0.0f : v;
+    val[base] = v;  // already clamped >= 0 at pack time
   }
   return needed;
 }
