@@ -271,8 +271,10 @@ def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
     c = scratch_ref.shape[-1]
     d = w_ref.shape[-1]
     cdt = w_ref.dtype
-    # SMEM blocks must span the full (NB, NC) trailing dims, so the band
-    # dim is selected here rather than by the index map
+    # SMEM blocks must span the full trailing dims (count is whole-array:
+    # its [B, NB] shape has no 8/128-compatible blocking), so batch/band
+    # are selected here rather than by the index map
+    batch = pl.program_id(0)
     band = pl.program_id(1)
 
     scratch_ref[...] = jnp.zeros_like(scratch_ref)
@@ -320,13 +322,13 @@ def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
                 place(g * _UNROLL + i)
             return carry
 
-        jax.lax.fori_loop(0, pl.cdiv(count_ref[0, band], _UNROLL), body, 0)
+        jax.lax.fori_loop(0, pl.cdiv(count_ref[batch, band], _UNROLL), body, 0)
     else:
         def body(g, carry):
             place(g)
             return carry
 
-        jax.lax.fori_loop(0, count_ref[0, band], body, 0)
+        jax.lax.fori_loop(0, count_ref[batch, band], body, 0)
 
     # --- patch-embed matmul phase (ops/patch_embed.py semantics) ---
     m = rows_pp * gw
@@ -376,7 +378,7 @@ def voxel_embed_tokens(
         grid=(b, nb),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
-            pl.BlockSpec((1, nb), lambda i, j: (i, 0),
+            pl.BlockSpec((b, nb), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nb, nc), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
