@@ -280,6 +280,7 @@ def train(
     log_fn=print,
     use_intention_weights: bool = False,
     resume: bool = False,
+    resume_lr: float | None = None,
     distributed: bool = False,
     max_points_per_sweep: int = 65536,
 ) -> dict:
@@ -351,6 +352,12 @@ def train(
             scheduler.restore(restored["loop"])
             start_epoch = int(restored["loop"]["epoch"])
             step_count = int(np.asarray(state.step))
+            if resume_lr is not None:
+                # explicit finetune phase: override the restored LR (the
+                # plateau scheduler continues from the new value)
+                scheduler.lr = float(resume_lr)
+            state = state._replace(
+                opt_state=set_learning_rate(state.opt_state, scheduler.lr))
             log_fn(
                 f"resumed from step {step_count} (epoch {start_epoch}, "
                 f"lr {scheduler.lr:.2e}, best {scheduler.best:.4f})"
@@ -505,6 +512,10 @@ def main(argv=None):
     p.add_argument("--debug_nans", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out_dir")
+    p.add_argument("--resume_lr", type=float, default=None,
+                   help="with --resume: override the restored learning "
+                        "rate (explicit finetune phase; plain resume keeps "
+                        "the checkpointed schedule)")
     p.add_argument("--use_intention_weights", action="store_true")
     p.add_argument("--no_intention_downsampling", action="store_true")
     p.add_argument("--distributed", action="store_true",
@@ -550,7 +561,8 @@ def main(argv=None):
     train(cfg, args.data_dir, args.out_dir,
           num_workers=args.num_workers, max_steps=args.max_steps,
           use_intention_weights=args.use_intention_weights,
-          resume=args.resume, distributed=args.distributed,
+          resume=args.resume, resume_lr=args.resume_lr,
+          distributed=args.distributed,
           max_points_per_sweep=args.max_points_per_sweep)
 
 
