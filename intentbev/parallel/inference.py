@@ -34,15 +34,40 @@ class StreamingInferencer:
             det = inf(batch)                               # Detections (host)
     """
 
-    def __init__(self, cfg: ExperimentConfig, variables, mesh=None):
+    def __init__(self, cfg: ExperimentConfig, variables, mesh=None,
+                 transport: str = "points", num_chunks: int = 512):
+        """``transport``:
+
+        - "points" (default): ship packed points; voxelize on device
+          (training-identical dense-BEV path).
+        - "chunks": build voxel placement chunks on the host (C++
+          ``ib_build_chunks``) and run the fused voxelize+patch-embed
+          serving kernel (ops.voxel_embed) — the dense BEV never exists
+          in HBM; measured 61.6 -> 72.7 fps on v5e (docs/PERF.md). The
+          ``__call__`` API is unchanged; ``num_chunks`` fixes the chunk
+          capacity so the program compiles once (overfull bands drop
+          their rarest-window cells — raise it if the data needs more).
+        """
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else create_mesh(cfg.mesh)
         self.model = build_model(cfg)
+        self.transport = transport
+        self.num_chunks = num_chunks
         anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
         rep = replicated(self.mesh)
         self.variables = jax.device_put(variables, rep)
         self._b_shard = batch_sharding(self.mesh, cfg.mesh)
         grid, ev = cfg.grid, cfg.eval
+        mdt = getattr(self.model, "dtype", jnp.float32)
+
+        def postprocess(cls_l, box_d, int_l):
+            return batched_postprocess(
+                cls_l, box_d, int_l, anchors,
+                confidence_threshold=ev.confidence_threshold,
+                nms_iou_threshold=ev.nms_iou_threshold,
+                max_pre_nms=ev.max_pre_nms,
+                max_detections=ev.max_detections,
+            )
 
         def infer(variables, points, points_valid, map_bev):
             lidar = jax.vmap(lambda p, v: voxelize_packed(p, v, grid))(
@@ -52,23 +77,34 @@ class StreamingInferencer:
                 variables, lidar,
                 decode_map_transport(map_bev, grid.map_channels, lidar.dtype),
             )
-            return batched_postprocess(
-                cls_l, box_d, int_l, anchors,
-                confidence_threshold=ev.confidence_threshold,
-                nms_iou_threshold=ev.nms_iou_threshold,
-                max_pre_nms=ev.max_pre_nms,
-                max_detections=ev.max_detections,
+            return postprocess(cls_l, box_d, int_l)
+
+        def infer_chunks(variables, chunks, map_bev):
+            cls_l, box_d, int_l = self.model.apply(
+                variables, chunks,
+                decode_map_transport(map_bev, grid.map_channels, mdt),
             )
+            return postprocess(cls_l, box_d, int_l)
 
         det_shard = Detections(
             boxes_xywha=self._b_shard, scores=self._b_shard,
             intentions=self._b_shard, valid=self._b_shard,
         )
-        self._infer = jax.jit(
-            infer,
-            in_shardings=(rep, self._b_shard, self._b_shard, self._b_shard),
-            out_shardings=det_shard,
-        )
+        if transport == "chunks":
+            from ..ops.voxel_embed import VoxelChunks
+
+            chunk_shard = VoxelChunks(*([self._b_shard] * 5))
+            self._infer = jax.jit(
+                infer_chunks,
+                in_shardings=(rep, chunk_shard, self._b_shard),
+                out_shardings=det_shard,
+            )
+        else:
+            self._infer = jax.jit(
+                infer,
+                in_shardings=(rep, self._b_shard, self._b_shard, self._b_shard),
+                out_shardings=det_shard,
+            )
 
     @property
     def batch_multiple(self) -> int:
@@ -76,6 +112,27 @@ class StreamingInferencer:
         return self.mesh.devices.shape[0]
 
     def __call__(self, points, points_valid, map_bev) -> Detections:
+        if self.transport == "chunks":
+            from ..ops.voxel_embed import build_voxel_chunks, stack_voxel_chunks
+
+            pts = np.asarray(points)
+            if pts.dtype == np.int16:  # i16-cm transport (quantize_points_cm)
+                pts = pts.astype(np.float32) * np.asarray(
+                    [0.01, 0.01, 0.01, 1.0], np.float32)
+            vld = np.asarray(points_valid)
+            chunks = stack_voxel_chunks([
+                build_voxel_chunks(
+                    pts[i], vld[i], self.cfg.grid,
+                    self.cfg.vit.patch_size, num_chunks=self.num_chunks,
+                    on_overflow="drop",
+                )[0]
+                for i in range(pts.shape[0])
+            ])
+            args = local_batch_slice(
+                {"chunks": chunks, "map_bev": map_bev}, self.mesh, self.cfg.mesh,
+            )
+            det = self._infer(self.variables, args["chunks"], args["map_bev"])
+            return jax.tree.map(np.asarray, det)
         args = local_batch_slice(
             {"points": points, "points_valid": points_valid, "map_bev": map_bev},
             self.mesh, self.cfg.mesh,

@@ -117,3 +117,46 @@ class TestResumeAndWeights:
         np.testing.assert_allclose(w, w_full, atol=1e-6)
         w_sub = compute_intention_class_weights(seqs, loader, max_sequences=2)
         assert w_sub.shape == (8,) and abs(float(w_sub.sum()) - 1.0) < 1e-5
+
+
+class TestChunkTransport:
+    def test_chunks_transport_matches_points(self):
+        """transport='chunks' (fused voxelize+patch-embed serving path)
+        produces the same detections as the dense points transport."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        cfg = tiny_test_config()
+        cfg = dataclasses.replace(cfg, mesh=MeshConfig(model_parallel=1))
+        g = cfg.grid
+        model = build_model(cfg)
+        rng = np.random.default_rng(1)
+        B, S, P = 8, g.lidar_sweeps, 128
+        lidar0 = jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels))
+        map0 = jnp.zeros((1, g.height_px, g.width_px, g.map_channels))
+        variables = model.init(jax.random.key(0), lidar0, map0)
+
+        pts = np.zeros((B, S, P, 4), np.float32)
+        pts[..., 0] = rng.uniform(-10, 2, (B, S, P))
+        pts[..., 1] = rng.uniform(-9, 9, (B, S, P))
+        pts[..., 2] = rng.uniform(-2, 3.7, (B, S, P))
+        pts[..., 3] = rng.uniform(0, 255, (B, S, P))
+        pv = np.ones((B, S, P), bool)
+        mapb = rng.uniform(0, 1, (B, g.height_px, g.width_px, g.map_channels)).astype(np.float32)
+
+        det_pts = StreamingInferencer(cfg, variables)(pts, pv, mapb)
+        # interpret-mode pallas lowers to an io_callback that XLA's SPMD
+        # partitioner rejects on a multi-device mesh, so the chunks
+        # transport is exercised on a 1-device mesh here (full API path:
+        # chunk build, shardings, jit); the sharded compile of the real
+        # Mosaic kernel is validated on TPU (docs/PERF.md sweep).
+        from intentbev.parallel.mesh import create_mesh
+
+        mesh1 = create_mesh(cfg.mesh, devices=jax.devices()[:1])
+        with pltpu.force_tpu_interpret_mode():
+            inf = StreamingInferencer(cfg, variables, mesh=mesh1,
+                                      transport="chunks", num_chunks=64)
+            det_chk = inf(pts, pv, mapb)
+        np.testing.assert_array_equal(det_chk.valid, det_pts.valid)
+        np.testing.assert_allclose(det_chk.scores, det_pts.scores, atol=1e-4)
+        np.testing.assert_allclose(det_chk.boxes_xywha, det_pts.boxes_xywha,
+                                   atol=1e-3)
