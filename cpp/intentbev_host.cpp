@@ -246,7 +246,28 @@ int64_t ib_build_chunks(const float* points, const uint8_t* valid, int64_t s,
       cells.push_back(((uint64_t)id << 32) | vb);
     }
   }
-  std::sort(cells.begin(), cells.end());
+  // LSD radix sort on the id digits only (11-bit digits over the id's bit
+  // width; ~3 passes at full scale, each O(n) sequential) — ~4x faster
+  // than comparison-sorting the u64s. Values are left unordered within an
+  // id-run; the emit scan below takes the max explicitly.
+  {
+    const uint64_t max_id = (uint64_t)(h * w * C);
+    int bits = 0;
+    while ((max_id >> bits) != 0) ++bits;
+    const int DIG = 11;
+    const size_t NB_ = (size_t)1 << DIG;
+    std::vector<uint64_t> tmp(cells.size());
+    std::vector<uint32_t> cnt(NB_);
+    for (int lo = 0; lo < bits; lo += DIG) {
+      std::fill(cnt.begin(), cnt.end(), 0u);
+      const int sh = 32 + lo;
+      for (uint64_t c0 : cells) ++cnt[(c0 >> sh) & (NB_ - 1)];
+      uint32_t run = 0;
+      for (size_t b = 0; b < NB_; ++b) { uint32_t t = cnt[b]; cnt[b] = run; run += t; }
+      for (uint64_t c0 : cells) tmp[cnt[(c0 >> sh) & (NB_ - 1)]++] = c0;
+      cells.swap(tmp);
+    }
+  }
 
   const int64_t mcw = (window * C + cap - 1) / cap;
   int64_t needed = 0;
@@ -254,9 +275,13 @@ int64_t ib_build_chunks(const float* points, const uint8_t* valid, int64_t s,
   const size_t n = cells.size();
   for (size_t i = 0; i < n; ++i) {
     const int64_t id = (int64_t)(cells[i] >> 32);
-    while (i + 1 < n && (int64_t)(cells[i + 1] >> 32) == id) ++i;
+    uint32_t vb = (uint32_t)cells[i];
+    while (i + 1 < n && (int64_t)(cells[i + 1] >> 32) == id) {
+      ++i;
+      const uint32_t vb2 = (uint32_t)cells[i];
+      if (vb2 > vb) vb = vb2;  // non-negative floats order as u32 bits
+    }
     float v;
-    const uint32_t vb = (uint32_t)cells[i];
     std::memcpy(&v, &vb, 4);
     const int64_t pix = id / C;
     const int64_t chn = id % C;
