@@ -22,19 +22,25 @@ import jax
 
 def capture(out_dir: str, steps: int = 6):
     sys.path.insert(0, ".")
+    import os
+
+    # match bench.py's serving-process defaults (bench.main sets this too)
+    os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "512")
     from bench import build_bench
 
-    infer, args = build_bench(batch_size=8, points_per_sweep=16384, int8="--int8" in sys.argv)
-    variables, points, points_valid, map_bev = args
+    infer, args = build_bench(
+        batch_size=8, points_per_sweep=16384, int8="--int8" in sys.argv,
+        voxembed="--voxembed" in sys.argv)
+    variables, chained, *rest = args
 
-    out = infer(variables, points, points_valid, map_bev)
+    out = infer(variables, chained, *rest)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     with jax.profiler.trace(out_dir, create_perfetto_trace=True):
         det = None
         for _ in range(steps):
-            det, points = infer(variables, points, points_valid, map_bev)
-        jax.block_until_ready((det, points))
+            det, chained = infer(variables, chained, *rest)
+        jax.block_until_ready((det, chained))
     dt = time.perf_counter() - t0
     print(f"{steps} steps in {dt*1000:.1f} ms -> {dt/steps*1000:.1f} ms/step, "
           f"{8*steps/dt:.1f} fps")
