@@ -230,13 +230,17 @@ def main():
     if model == "cnn":
         run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
         return
-    if model == "vit":
-        run_mode("bev_frames_per_sec_per_chip_dense", "vit", int8=int8,
-                 batch_size=batch)
-        return
     if int8:
+        # W8A8 line keeps its own metric key round over round, also when
+        # --model vit narrows the run
         run_mode("bev_frames_per_sec_per_chip_int8", "vit", int8=True,
                  batch_size=batch)
+        if model == "vit":
+            return
+    if model == "vit":
+        run_mode("bev_frames_per_sec_per_chip_dense", "vit",
+                 batch_size=batch)
+        return
     # secondary lines first; flagship LAST (drivers parse the last line)
     run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
     run_mode("bev_frames_per_sec_per_chip_dense", "vit", batch_size=batch)

@@ -270,6 +270,10 @@ int64_t ib_build_chunks(const float* points, const uint8_t* valid, int64_t s,
   }
 
   const int64_t mcw = (window * C + cap - 1) / cap;
+  // full per-band chunk demand, counted PAST nc so the returned `needed`
+  // is exact (the caller's auto-size retry must be able to size precisely;
+  // saturating at nc+1 would make a second overflow silent)
+  std::vector<int64_t> full_count((size_t)nb, 0);
   int64_t needed = 0;
   int64_t prev_win = -1, rank = -1, prev_chunk_key = -1, local = -1;
   const size_t n = cells.size();
@@ -294,7 +298,7 @@ int64_t ib_build_chunks(const float* points, const uint8_t* valid, int64_t s,
     const int64_t ckey = win * mcw + chunk_in_win;
     if (ckey != prev_chunk_key) {
       prev_chunk_key = ckey;
-      local = count[band];
+      local = full_count[band]++;
       if (local < nc) {
         count[band] = (int32_t)(local + 1);
         wid[band * nc + local] = (int32_t)(win % wins_per_band);

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _COMPILER_PARAMS, _dgelu, _gelu
+from .fused_mlp import _COMPILER_PARAMS, _COMPILER_PARAMS_SEQ, _dgelu, _gelu
 
 BLOCK_ROWS_LND = 256
 
@@ -138,7 +138,7 @@ def _bwd_call(x2, gamma, beta, w, bias, dy2, eps, gelu):
     dx, dgamma, dbeta, dw, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, gelu=gelu),
         grid=(n // R,),
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS_SEQ,
         in_specs=[
             pl.BlockSpec((R, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),

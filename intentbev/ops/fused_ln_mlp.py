@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _COMPILER_PARAMS, _gelu, _dgelu
+from .fused_mlp import _COMPILER_PARAMS, _COMPILER_PARAMS_SEQ, _gelu, _dgelu
 
 import os as _os
 
@@ -233,7 +233,7 @@ def _bwd_call(x2, gamma, beta, w1, b1, w2, gate2, dy2, eps):
     dx, dgamma, dbeta, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps),
         grid=(n // R,),
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS_SEQ,
         in_specs=[
             pl.BlockSpec((R, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),

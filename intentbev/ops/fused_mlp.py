@@ -23,13 +23,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mosaic import kernel_params
+from .mosaic import kernel_params, sequential_params
 
 # VMEM limit + optional megacore dimension_semantics (see ops/mosaic.py);
 # all grids in this file (and its importers) are 1-D over independent
 # row blocks. Also imported by fused_ln_mlp / fused_ln_dense /
 # fused_mlp_int8, whose grids are 1-D row blocks too.
 _COMPILER_PARAMS = kernel_params(1)
+# the backward kernels accumulate dW/db into a revisited constant-index
+# block — their grid must stay sequential even under INTENTBEV_MEGACORE
+_COMPILER_PARAMS_SEQ = sequential_params()
 
 import os as _os
 
@@ -163,7 +166,7 @@ def _bwd_call(x2, w1, b1, w2, dy2, gate2):
     dx, dw1_p, db1_p, dw2_p, db2_p = pl.pallas_call(
         _bwd_kernel,
         grid=(nb,),
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS_SEQ,
         in_specs=[
             pl.BlockSpec((BLOCK_ROWS_MLP, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -39,3 +39,12 @@ def kernel_params(grid_rank: int) -> pltpu.CompilerParams:
             dimension_semantics=("parallel",) * grid_rank,
         )
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def sequential_params() -> pltpu.CompilerParams:
+    """CompilerParams for grids that MUST run sequentially regardless of
+    INTENTBEV_MEGACORE — kernels that accumulate into a constant-index-map
+    output block across grid steps (the dW/db revisit pattern in the
+    MLP-family backward kernels): splitting such a grid across cores would
+    skip the program_id==0 init on one core and race the accumulator."""
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)

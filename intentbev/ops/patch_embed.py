@@ -38,6 +38,16 @@ _COMPILER_PARAMS = kernel_params(2)
 ROWS_PER_PROGRAM = 5
 
 
+def rows_per_program(grid_h: int, patch: int) -> int:
+    """Patch rows per program for a grid of ``grid_h`` pixel rows.
+
+    Shared banding rule: ops/voxel_embed.py's host chunk builder and
+    kernel band on the same value, so it must have exactly one definition.
+    """
+    gh = grid_h // patch
+    return ROWS_PER_PROGRAM if gh % ROWS_PER_PROGRAM == 0 else 1
+
+
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, patch: int, gw: int, rows_pp: int):
     # x [1, rows_pp*P, W, C]; w [P, P, C, D]; b [1, D];
     # o [1, rows_pp, gw, D] (last two block dims must equal the full array
@@ -70,7 +80,7 @@ def patch_embed_matmul(
     d = kernel.shape[-1]
     assert h % patch == 0 and w % patch == 0
     gh, gw = h // patch, w // patch
-    rows_pp = ROWS_PER_PROGRAM if gh % ROWS_PER_PROGRAM == 0 else 1
+    rows_pp = rows_per_program(h, patch)
     out = pl.pallas_call(
         functools.partial(_kernel, patch=patch, gw=gw, rows_pp=rows_pp),
         grid=(b, gh // rows_pp),

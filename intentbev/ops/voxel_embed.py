@@ -85,10 +85,9 @@ class VoxelChunks(NamedTuple):
     count: jnp.ndarray  # i32[B, NB]            real chunks per band
 
 
-def rows_per_program(grid_h: int, patch: int) -> int:
-    """Patch rows per band; mirrors ops/patch_embed.ROWS_PER_PROGRAM."""
-    gh = grid_h // patch
-    return 5 if gh % 5 == 0 else 1
+# one definition of the banding rule — the host chunk builder and the
+# kernel grid must agree with ops/patch_embed's row grouping
+from .patch_embed import rows_per_program  # noqa: E402  (re-export)
 
 
 def build_voxel_chunks(
@@ -127,6 +126,11 @@ def build_voxel_chunks(
     nb = h // rows_band
     wins_per_band = band_px // window
 
+    if num_chunks is not None and num_chunks % 8:
+        # the kernel's unroll over-run needs a multiple of the unroll
+        # factor (<= 8); extra zero chunks are arithmetic no-ops
+        num_chunks = -(-num_chunks // 8) * 8
+
     if use_native:
         from ..utils.native import build_chunks_native
 
@@ -144,10 +148,13 @@ def build_voxel_chunks(
                             "raise num_chunks or pass on_overflow='drop'"
                         )
                 else:  # auto-size: retry once at the exact requirement
+                    # (ib_build_chunks counts demand past nc, so `needed`
+                    # is exact and the retry cannot overflow again)
                     nc0 = -(-needed // 8) * 8
                     wid, sl, ch, val, count, needed = build_chunks_native(
                         points, valid, grid, window=window, cap=cap,
                         nb=nb, nc=nc0)
+                    assert needed <= nc0, (needed, nc0)
             if num_chunks is None and nc0 > 8:
                 tight = max(8, -(-max(int(count.max()), 1) // 8) * 8)
                 if tight < nc0:  # trim the over-guess (numpy-size parity)

@@ -196,3 +196,27 @@ class TestNativeBuilder:
                                      on_overflow="drop", use_native=False)
         for name, x, y in zip(a._fields, a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+
+    def test_native_autosize_concentrated_band(self, rng):
+        """Points concentrated in one band: the initial auto-size guess is
+        far too low, and the exact-`needed` retry must match numpy (the
+        saturated-needed bug silently dropped cells here)."""
+        from intentbev.utils.native import NATIVE_AVAILABLE, native_lib
+        if not NATIVE_AVAILABLE or not hasattr(native_lib, "ib_build_chunks"):
+            pytest.skip("native lib unavailable")
+        s, p = 2, 4000
+        pts = np.empty((s, p, 4), np.float32)
+        # rows 48..63 only (the grid's last band; row = 48 - x/0.2),
+        # spread over all cols
+        pts[..., 0] = rng.uniform(-3.1, -0.1, (s, p))
+        pts[..., 1] = rng.uniform(-9.6, 9.6, (s, p))
+        pts[..., 2] = rng.uniform(-2, 3.7, (s, p))
+        pts[..., 3] = rng.uniform(0, 255, (s, p))
+        valid = np.ones((s, p), bool)
+        a, nc_a = ve.build_voxel_chunks(pts, valid, GRID, PATCH, use_native=True)
+        b, nc_b = ve.build_voxel_chunks(pts, valid, GRID, PATCH, use_native=False)
+        assert nc_a == nc_b
+        for name, x, y in zip(a._fields, a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        # the concentrated band really needed more than the initial guess
+        assert int(np.max(a.count)) * 8 > int(np.count_nonzero(valid)) // 48
