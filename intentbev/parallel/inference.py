@@ -111,28 +111,37 @@ class StreamingInferencer:
         """Global batch must be a multiple of the data-axis size."""
         return self.mesh.devices.shape[0]
 
+    def build_chunks(self, points, points_valid):
+        """Host side of the chunk transport (callable from loader threads
+        so chunk building overlaps device inference)."""
+        from ..ops.voxel_embed import build_voxel_chunks, stack_voxel_chunks
+
+        pts = np.asarray(points)
+        if pts.dtype == np.int16:  # i16-cm transport (quantize_points_cm)
+            pts = pts.astype(np.float32) * np.asarray(
+                [0.01, 0.01, 0.01, 1.0], np.float32)
+        vld = np.asarray(points_valid)
+        return stack_voxel_chunks([
+            build_voxel_chunks(
+                pts[i], vld[i], self.cfg.grid,
+                self.cfg.vit.patch_size, num_chunks=self.num_chunks,
+                on_overflow="drop",
+            )[0]
+            for i in range(pts.shape[0])
+        ])
+
+    def infer_chunks(self, chunks, map_bev) -> Detections:
+        """Run pre-built placement chunks (transport='chunks' only)."""
+        args = local_batch_slice(
+            {"chunks": chunks, "map_bev": map_bev}, self.mesh, self.cfg.mesh,
+        )
+        det = self._infer(self.variables, args["chunks"], args["map_bev"])
+        return jax.tree.map(np.asarray, det)
+
     def __call__(self, points, points_valid, map_bev) -> Detections:
         if self.transport == "chunks":
-            from ..ops.voxel_embed import build_voxel_chunks, stack_voxel_chunks
-
-            pts = np.asarray(points)
-            if pts.dtype == np.int16:  # i16-cm transport (quantize_points_cm)
-                pts = pts.astype(np.float32) * np.asarray(
-                    [0.01, 0.01, 0.01, 1.0], np.float32)
-            vld = np.asarray(points_valid)
-            chunks = stack_voxel_chunks([
-                build_voxel_chunks(
-                    pts[i], vld[i], self.cfg.grid,
-                    self.cfg.vit.patch_size, num_chunks=self.num_chunks,
-                    on_overflow="drop",
-                )[0]
-                for i in range(pts.shape[0])
-            ])
-            args = local_batch_slice(
-                {"chunks": chunks, "map_bev": map_bev}, self.mesh, self.cfg.mesh,
-            )
-            det = self._infer(self.variables, args["chunks"], args["map_bev"])
-            return jax.tree.map(np.asarray, det)
+            return self.infer_chunks(
+                self.build_chunks(points, points_valid), map_bev)
         args = local_batch_slice(
             {"points": points, "points_valid": points_valid, "map_bev": map_bev},
             self.mesh, self.cfg.mesh,
