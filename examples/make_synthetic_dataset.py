@@ -31,8 +31,49 @@ from intentbev.data.synthetic import multi_lane_map_data, write_synthetic_log  #
 from intentbev.precompute_labels import run as precompute_run  # noqa: E402
 
 
+def stopper_track(
+    rng: np.random.Generator,
+    stop_x: float,
+    y: float,
+    direction: float,
+    num_frames: int,
+    start_dist: float,
+) -> np.ndarray:
+    """World-frame [num_frames, 3] track for a 3-phase stop at ``stop_x``:
+    approach at cruise speed, brisk brake to a creep, creep to the line,
+    halt. The phase design targets the heuristic's bands (3 s future
+    window, avg-speed thresholds 0.5 / 1.0 m/s): a uniform-decel stop
+    spends as many rows in the [0.5, 1.0) m/s dead zone (labeled OTHER)
+    as in the STOPPING band, and the two look visually identical — the
+    creep phase instead crosses the dead zone in <1 s at cruise speed and
+    stretches the STOPPING band to ~2-3 s of track (docs/TRAINING.md).
+    ``direction`` +1 drives +x (yaw 0), -1 drives -x (yaw pi);
+    ``start_dist`` is the initial distance to the stop line."""
+    dt = 0.1
+    cruise = float(rng.uniform(1.8, 2.6))
+    creep = float(rng.uniform(0.30, 0.45))
+    creep_dist = float(rng.uniform(1.0, 1.3))
+    brake = 2.0  # m/s^2, cruise -> creep
+    brake_dist = (cruise * cruise - creep * creep) / (2.0 * brake)
+    yaw = 0.0 if direction > 0 else float(np.pi)
+    out = np.empty((num_frames, 3))
+    r = float(start_dist)  # distance still to go
+    for i in range(num_frames):
+        out[i] = (stop_x - direction * r, y, yaw)
+        if r <= 0.02:
+            v = 0.0
+        elif r <= creep_dist:
+            v = creep
+        elif r <= creep_dist + brake_dist:
+            v = min(cruise, float(np.sqrt(creep * creep + 2.0 * brake * (r - creep_dist))))
+        else:
+            v = cruise
+        r = max(0.0, r - v * dt)
+    return out
+
+
 def scripted_vehicles(
-    rng: np.random.Generator, crosswalk_x: float
+    rng: np.random.Generator, crosswalk_x: float, num_frames: int = 60
 ) -> list[dict]:
     """A scene mix covering the intent taxonomy with SEPARABLE cues for
     every class (ego moves +x at 5 m/s; BEV covers x in [-20, 60],
@@ -54,6 +95,12 @@ def scripted_vehicles(
       motion smear + proximity to the crosswalk channel.
     - TURN / LANE_CHANGE: yaw-rate-integrated curved tracks (>20 deg and
       5-20 deg heading change over the 3 s horizon respectively).
+    - OTHER: two scripted signatures for the heuristic's escape branch —
+      diagonal drifters (heading fixed, lateral velocity: future leaves
+      the lane polygons at dh ~ 0) and off-road movers (driving in the
+      off-lane parked band). Before these, OTHER was only the track-end
+      rows (< 5 future annotation steps) — pure label noise with no
+      coherent signature, which capped its F1 at ~0.08 (docs/TRAINING.md).
     """
     vehicles: list[dict] = []
 
@@ -93,34 +140,23 @@ def scripted_vehicles(
         "start": (float(rng.uniform(10.0, 45.0)), center_y()),
         "velocity": (0.0, 0.0), "yaw": 0.0,
     })
-    # 6 stopping: gentle decel to a halt short of the crosswalk (queued).
-    # Stop times 2d/v0 are STAGGERED across ~2.5-9 s so the labeler's
-    # STOPPING band (future displacement in [0.5, 1.5] m over the 3 s
-    # horizon) is populated somewhere in the scene at every frame of the
-    # log, not just in one early burst — this is what lifts STOPPING
-    # support above the ~2.6% the round-3 scenes produced.
+    # 6 stopping: 3-phase stops (see ``stopper_track``) queued short of
+    # the crosswalk. Start distances are STAGGERED so the labeler's
+    # STOPPING band is populated somewhere in the scene at every frame
+    # of the log, not just in one early burst.
     for i in range(6):
-        if i % 2 == 0:  # creepers: low v0, long d -> band lasts seconds
-            v0 = float(rng.uniform(0.8, 1.4))
-            d = float(rng.uniform(3.5, 6.5))
-        else:           # slightly brisker, still gentle (band ~1 s)
-            v0 = float(rng.uniform(1.4, 2.0))
-            d = float(rng.uniform(3.0, 5.0))
         # distinct queue slot per stopper (~6 m pitch) so same-lane cars
         # halt like a queue at a light, never overlapping GT boxes
         gap = 1.5 + 6.0 * (i // 2) + float(rng.uniform(0.0, 1.5))
+        start_dist = 1.5 + 3.2 * i / 2 + float(rng.uniform(0.0, 1.8))
         if i % 3 != 2:  # forward lanes, approaching from -x
-            vehicles.append({
-                "start": (crosswalk_x - d - gap, center_y("fwd")),
-                "velocity": (v0, 0.0), "yaw": 0.0,
-                "accel": -(v0 * v0) / (2.0 * d),
-            })
+            vehicles.append({"track": stopper_track(
+                rng, crosswalk_x - gap, center_y("fwd"), +1.0,
+                num_frames, start_dist)})
         else:      # oncoming lane, approaching from +x
-            vehicles.append({
-                "start": (crosswalk_x + 2.5 + d + gap, center_y("onc")),
-                "velocity": (-v0, 0.0), "yaw": float(np.pi),
-                "accel": -(v0 * v0) / (2.0 * d),
-            })
+            vehicles.append({"track": stopper_track(
+                rng, crosswalk_x + 2.5 + gap, center_y("onc"), -1.0,
+                num_frames, start_dist)})
     # 2 turners (>20 deg heading change within the 3 s horizon)
     for sign in (1.0, -1.0):
         vehicles.append({
@@ -135,6 +171,30 @@ def scripted_vehicles(
             "velocity": (float(rng.uniform(4.0, 8.0)), 0.0), "yaw": 0.0,
             "yaw_rate": sign * float(rng.uniform(0.05, 0.10)),
         })
+    # 1 diagonal drifter: heading fixed but velocity has a lateral
+    # component (crab-walk). dh stays ~0 so the labeler reaches the
+    # lane-containment check, and the future escapes the current-lane(+
+    # successor) polygons -> OTHER (reference heuristic_labeling.py:112-117).
+    # Visual signature: motion smear diagonal to the box heading.
+    vehicles.append({
+        "start": (float(rng.uniform(5.0, 40.0)), center_y("fwd")),
+        "velocity": (float(rng.uniform(3.0, 6.0)),
+                     float(rng.choice([-1.0, 1.0]))
+                     * float(rng.uniform(1.2, 1.8))),
+        "yaw": 0.0,
+    })
+    # 1 off-road mover: driving along x where only parked cars sit
+    # (|y| in [8.8, 10.5], outside every lane fill). A lane is still
+    # within the 5 m map-search radius but never contains it -> OTHER.
+    # Visual signature: motion smear in the off-lane band of the map.
+    side = float(rng.choice([-1.0, 1.0]))
+    vehicles.append({
+        "start": (float(rng.uniform(5.0, 40.0)),
+                  side * float(rng.uniform(8.8, 10.5))),
+        "velocity": ((1.0 if side > 0 else -1.0)
+                     * float(rng.uniform(2.5, 5.0)), 0.0),
+        "yaw": 0.0 if side > 0 else float(np.pi),
+    })
     return vehicles
 
 
@@ -179,7 +239,7 @@ def main(argv=None):
                 crosswalk_x = float(rng.uniform(10.0, 20.0))
             else:
                 crosswalk_x = float(rng.uniform(25.0, 45.0))
-            vehicles = scripted_vehicles(rng, crosswalk_x)
+            vehicles = scripted_vehicles(rng, crosswalk_x, args.frames)
             if mode == "cruise":
                 # one co-mover at ego speed: zero relative motion, the
                 # ego-relative heuristic labels it PARKED — a visually

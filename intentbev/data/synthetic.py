@@ -139,8 +139,11 @@ def write_synthetic_log(
     ``yaw``, ``category``, plus optional curved/decelerating motion:
     ``yaw_rate`` (rad/s; the track integrates heading so turning vehicles
     actually curve) and ``accel`` (m/s^2 along heading, clamped at 0 speed;
-    gives STOPPING tracks). Defaults to two cars: one keeping lane ahead of
-    ego, one parked to the side.
+    gives STOPPING tracks). A vehicle may instead carry an explicit
+    ``track`` array [num_frames, 3] of world-frame (x, y, yaw) rows for
+    motion profiles the integrator can't express (e.g. multi-phase stops).
+    Defaults to two cars: one keeping lane ahead of ego, one parked to
+    the side.
 
     ``map_data``: optional full log-map-archive dict (lane_segments /
     pedestrian_crossings / drivable_areas) replacing the default
@@ -186,7 +189,13 @@ def write_synthetic_log(
             {"start": (10.0, 6.0), "velocity": (0.0, 0.0), "yaw": 0.0,
              "category": "REGULAR_VEHICLE"},
         ]
-    trajs = [_integrate_track(v, num_frames) for v in vehicles]
+    trajs = [
+        np.asarray(v["track"], dtype=np.float64) if "track" in v
+        else _integrate_track(v, num_frames)
+        for v in vehicles
+    ]
+    for traj in trajs:
+        assert traj.shape == (num_frames, 3), traj.shape
     ann_rows = []
     track_ids = []
     for v, traj in zip(vehicles, trajs):
