@@ -214,3 +214,83 @@ class TestMultiEpochThreadedIteration:
                 assert batch.points.shape[0] == 2
                 n += 1
             assert n == len(seqs) // 2
+
+
+class TestScriptedSceneCues:
+    """The evidence-dataset generator's class cues survive labeling
+    (examples/make_synthetic_dataset.py; docs/TRAINING.md). These guard
+    the OTHER/STOPPING scene engineering: a uniform-decel stop spends as
+    long in the labeler's [0.5, 1.0) m/s dead zone (-> OTHER) as in the
+    STOPPING band, so the generator scripts 3-phase stops, and OTHER gets
+    two separable scripted signatures (diagonal drifter, off-road mover)."""
+
+    def _label_world_track(self, track, map_ctx=None):
+        n = len(track)
+        ts = (np.arange(n) * 0.1 * 1e9).astype(np.int64)
+        yaw = track[:, 2]
+        quats = np.stack(
+            [np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], axis=1
+        )
+        return label_track(ts, track[:, :2].astype(np.float64), quats,
+                           HeuristicConfig(), map_ctx)
+
+    @pytest.fixture(scope="class")
+    def corridor_ctx(self, tmp_path_factory):
+        import json
+        from intentbev.bev.rasterize import parse_map_json
+        from intentbev.data.synthetic import multi_lane_map_data
+
+        p = tmp_path_factory.mktemp("map") / "log_map_archive_x.json"
+        p.write_text(json.dumps(multi_lane_map_data()))
+        return MapContext(parse_map_json(str(p)))
+
+    def test_stopper_track_band_structure(self, corridor_ctx):
+        from examples.make_synthetic_dataset import stopper_track
+
+        rng = np.random.default_rng(7)
+        track = stopper_track(rng, stop_x=30.0, y=1.75, direction=+1.0,
+                              num_frames=60, start_dist=6.0)
+        labels = self._label_world_track(track, corridor_ctx)
+        body = labels[:-5]  # last 5 rows lack future points -> OTHER noise
+        n_stop = int((body == INTENTIONS_MAP["STOPPING_STOPPED"]).sum())
+        n_other = int((body == INTENTIONS_MAP["OTHER"]).sum())
+        n_parked = int((body == INTENTIONS_MAP["PARKED"]).sum())
+        # the creep phase stretches STOPPING to ~2-3 s of track and the
+        # brake phase crosses the dead zone fast
+        assert n_stop >= 15, (n_stop, labels.tolist())
+        assert n_other <= n_stop, (n_other, n_stop)
+        assert n_parked > 0  # halts within the log
+        # phases appear in order: any STOPPING row precedes every PARKED row
+        first_parked = int(np.argmax(body == INTENTIONS_MAP["PARKED"]))
+        assert (body[first_parked:] != INTENTIONS_MAP["STOPPING_STOPPED"]).all()
+
+    def test_diagonal_drifter_labels_other(self, corridor_ctx):
+        # heading fixed, lateral velocity: dh ~ 0 but the future escapes
+        # the lane polygons -> OTHER via the containment branch
+        n = 60
+        t = np.arange(n) * 0.1
+        track = np.stack([10.0 + 4.0 * t, 1.75 + 1.5 * t, np.zeros(n)], axis=1)
+        labels = self._label_world_track(track, corridor_ctx)
+        assert (labels[:-5] == INTENTIONS_MAP["OTHER"]).all(), labels.tolist()
+
+    def test_offroad_mover_labels_other(self, corridor_ctx):
+        # driving in the off-lane parked band: a lane is within the 5 m
+        # search radius but never contains the car -> OTHER
+        n = 60
+        t = np.arange(n) * 0.1
+        track = np.stack([10.0 + 3.5 * t, np.full(n, 9.5), np.zeros(n)], axis=1)
+        labels = self._label_world_track(track, corridor_ctx)
+        assert (labels[:-5] == INTENTIONS_MAP["OTHER"]).all(), labels.tolist()
+
+    def test_explicit_track_in_synthetic_log(self, tmp_path):
+        import pandas as pd
+
+        n = 8
+        track = np.stack([np.linspace(5, 12, n), np.full(n, 2.0),
+                          np.zeros(n)], axis=1)
+        log_dir = write_synthetic_log(
+            tmp_path, log_id="tracklog", num_frames=n, seed=0,
+            vehicles=[{"track": track}], ego_xs=np.zeros(n))
+        df = pd.read_feather(log_dir / "annotations.feather")
+        assert np.allclose(df.tx_m.to_numpy(), track[:, 0])
+        assert np.allclose(df.ty_m.to_numpy(), track[:, 1])
