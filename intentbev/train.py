@@ -85,6 +85,17 @@ class PlateauScheduler:
                 self.bad_epochs = 0
         return self.lr
 
+    def start_phase(self, lr: float) -> None:
+        """Begin an explicit finetune phase (``--resume_lr``): set the new
+        LR and reset plateau tracking. The phase (often new data, as in
+        curriculum continuation) must establish its own best — keeping a
+        lower best from the previous phase reads every epoch as a plateau
+        and decays the LR to nothing within ~20 epochs (observed:
+        2e-5 -> 2e-10, docs/TRAINING.md)."""
+        self.lr = float(lr)
+        self.best = float("inf")
+        self.bad_epochs = 0
+
     def state(self) -> dict:
         """Checkpointable state (resume must not reset LR/plateau tracking)."""
         return {
@@ -353,9 +364,8 @@ def train(
             start_epoch = int(restored["loop"]["epoch"])
             step_count = int(np.asarray(state.step))
             if resume_lr is not None:
-                # explicit finetune phase: override the restored LR (the
-                # plateau scheduler continues from the new value)
-                scheduler.lr = float(resume_lr)
+                # explicit finetune phase: new LR + plateau-tracking reset
+                scheduler.start_phase(resume_lr)
             state = state._replace(
                 opt_state=set_learning_rate(state.opt_state, scheduler.lr))
             log_fn(

@@ -77,6 +77,20 @@ class TestTrainLoop:
             assert s.step(2.0) == 1e-4
         assert s.step(2.0) == pytest.approx(1e-5)
 
+    def test_plateau_scheduler_start_phase_resets_tracking(self):
+        from intentbev.train import PlateauScheduler
+
+        s = PlateauScheduler(1e-4, 0.1, patience=1)
+        s.step(0.1)  # best = 0.1
+        s.step(0.5)  # one bad epoch banked
+        s.start_phase(2e-5)
+        assert s.lr == pytest.approx(2e-5)
+        # new-phase losses above the OLD best must not read as a plateau:
+        # the first epoch establishes a fresh best, no decay for epochs
+        assert s.step(0.4) == pytest.approx(2e-5)
+        assert s.step(0.45) == pytest.approx(2e-5)  # 1 bad tolerated
+        assert s.step(0.45) == pytest.approx(2e-6)  # 2nd decays
+
 
 class TestEvalLoop:
     def test_eval_cli_end_to_end(self, data_root, tiny_cfg, tmp_path):
