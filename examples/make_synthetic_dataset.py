@@ -164,12 +164,31 @@ def scripted_vehicles(
             "velocity": (float(rng.uniform(3.0, 6.0)), 0.0), "yaw": 0.0,
             "yaw_rate": sign * float(rng.uniform(0.25, 0.45)),
         })
-    # 2 lane changers (5-20 deg drift over the horizon)
-    for sign in (1.0, -1.0):
+    # 4 lane changers (5-20 deg drift over the horizon). Three cue
+    # decisions target the classes' F1 plateau at ~0.35 (docs/TRAINING.md
+    # — LEFT/RIGHT_CHANGE were the weakest non-OTHER classes):
+    # (a) yaw_rate 0.075-0.11 rad/s -> dh over the 3 s horizon is
+    #     12.9-18.9 deg: max margin from BOTH label boundaries (5 deg
+    #     KEEP_LANE, 20 deg TURN) and ~2.5x the old band's lower edge, so
+    #     the visible curvature separates further from keep-laners;
+    # (b) speeds 5-9 m/s: a faster car sweeps a longer 10-sweep motion
+    #     smear, making the same curvature visibly larger (lateral offset
+    #     grows ~ v*w*t^2/2);
+    # (c) a random maneuver PHASE (initial heading 0-8 deg into the
+    #     drift, with the matching lateral offset off the lane center):
+    #     mid-maneuver cars straddle the dashed boundary — the map-
+    #     relative cue a real lane change shows — instead of every
+    #     example starting dead-center. dh is phase-invariant (constant
+    #     yaw rate), so labels stay LANE_CHANGE throughout.
+    for i in range(4):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        phase = float(rng.uniform(0.0, 0.14))  # rad, 0-8 deg
         vehicles.append({
-            "start": (float(rng.uniform(5.0, 45.0)), center_y("fwd")),
-            "velocity": (float(rng.uniform(4.0, 8.0)), 0.0), "yaw": 0.0,
-            "yaw_rate": sign * float(rng.uniform(0.05, 0.10)),
+            "start": (float(rng.uniform(5.0, 45.0)),
+                      center_y("fwd") + sign * phase * 12.0),
+            "velocity": (float(rng.uniform(5.0, 9.0)), 0.0),
+            "yaw": sign * phase,
+            "yaw_rate": sign * float(rng.uniform(0.075, 0.11)),
         })
     # 1 diagonal drifter: heading fixed but velocity has a lateral
     # component (crab-walk). dh stays ~0 so the labeler reaches the

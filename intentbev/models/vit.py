@@ -39,6 +39,12 @@ from .heads import DetectionHead, IntentionHead, flatten_head_outputs
 _dense_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def _env_flag(name: str) -> bool:
+    import os
+
+    return os.environ.get(name, "0") not in ("", "0", "false", "False")
+
+
 class PallasLayerNorm(nn.Module):
     """LayerNorm via the fused Pallas kernel (ops.layernorm) on TPU, with
     the FastLayerNorm math as the non-TPU fallback. Same parameter names as
@@ -521,6 +527,29 @@ class ViTEncoder(nn.Module):
             tokens = patch_embed_matmul(
                 x_nhwc.astype(self.dtype), wconv.astype(self.dtype),
                 bconv, p)
+        elif (deterministic and jax.default_backend() == "tpu"
+              and x_nhwc.shape[-1] < 32
+              and _env_flag("INTENTBEV_MAP_EMBED_MATMUL")):
+            # Patch-major matmul embed for NARROW streams (the 9-channel
+            # map): XLA's conv reads the [B,400,720,9] input in its
+            # T(8,128) lane-padded tiling — 9 live lanes of 128 — at an
+            # effective ~20 TFLOPS / 0.79 ms per step (profiled,
+            # docs/PERF.md). Reshaping to patch-major [B, N, p*p*C]
+            # (576 lanes for the map) first makes the embed a dense
+            # matmul on a well-packed operand. Same conv params
+            # ("patch_embed" kernel/bias), so checkpoints are
+            # interchangeable; serving-only (env-gated sweep knob).
+            wconv, bconv = _ConvParams(
+                p, x_nhwc.shape[-1], cfg.embed_dim, name="patch_embed")()
+            c_in = x_nhwc.shape[-1]
+            xp = x_nhwc.reshape(b, gh, p, gw, p, c_in)
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, n, p * p * c_in)
+            tokens = (
+                jnp.einsum("bnk,kd->bnd", xp,
+                           wconv.reshape(p * p * c_in, cfg.embed_dim)
+                           .astype(self.dtype))
+                + bconv.astype(self.dtype)
+            )
         else:
             x = nn.Conv(
                 cfg.embed_dim, (p, p), strides=(p, p), padding="VALID",

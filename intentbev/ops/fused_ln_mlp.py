@@ -47,6 +47,17 @@ import os as _os
 # the cost of VMEM working set). 256 is the validated default.
 BLOCK_ROWS_LNMLP = int(_os.environ.get("INTENTBEV_LNMLP_BLOCK", "256"))
 
+# Hidden-dim chunk for the FORWARD kernels (0 = monolithic). The
+# monolithic kernel serializes fc1(MXU) -> gelu(VPU) -> fc2(MXU) per row
+# block, pinning the step at ~126 TFLOPS eff.; slicing the 4D hidden into
+# chunks makes each chunk's fc1/gelu/fc2 an independent chain so Mosaic
+# can overlap chunk c's GELU with chunk c+1's matmuls — the same
+# restructuring that took the packed-attention forward from 3.51 to
+# 2.80 ms/call (ops/flash_packed.py chunked KV, docs/PERF.md). Exact:
+# fc2 distributes over hidden slices, so partial-sum accumulation in f32
+# matches the monolithic dot bit-for-bit up to f32 add reassociation.
+MLP_HCHUNK = int(_os.environ.get("INTENTBEV_MLP_HCHUNK", "0"))
+
 
 def _pad_rows(n: int) -> int:
     return ((n + BLOCK_ROWS_LNMLP - 1) // BLOCK_ROWS_LNMLP) * BLOCK_ROWS_LNMLP
@@ -62,6 +73,38 @@ def _ln(x, g_ref, b_ref, eps):
     return xhat, inv, xn
 
 
+def _mlp_body(xn_lp, w1_ref, b1_ref, w2_ref):
+    """f32 fc2(gelu(fc1(xn))) WITHOUT bias2 — monolithic or hidden-chunked
+    (MLP_HCHUNK), see the knob comment above. Chunks are static slices so
+    each fc1/gelu/fc2 triplet is an independent chain Mosaic can pipeline.
+    """
+    dh = w1_ref.shape[1]
+    ck = MLP_HCHUNK
+    if ck <= 0 or ck >= dh or dh % ck != 0:
+        g = jax.lax.dot_general(
+            xn_lp, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:].astype(jnp.float32)
+        h = _gelu(g)
+        return jax.lax.dot_general(
+            h.astype(xn_lp.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc = None
+    for c in range(dh // ck):
+        g = jax.lax.dot_general(
+            xn_lp, w1_ref[:, c * ck:(c + 1) * ck], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:, c * ck:(c + 1) * ck].astype(jnp.float32)
+        h = _gelu(g)
+        part = jax.lax.dot_general(
+            h.astype(xn_lp.dtype), w2_ref[c * ck:(c + 1) * ck, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def _fwd_ln_out_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                        gate_ref, gn_ref, bn_ref, y_ref, yn_ref, *, eps: float):
     """Block tail + LN epilogue: y = x + gate*mlp(LN2(x)); yn = LN(y)*gn+bn.
@@ -73,15 +116,8 @@ def _fwd_ln_out_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     training keeps the standalone-norm1 structure."""
     x = x_ref[:].astype(jnp.float32)
     _, _, xn = _ln(x, g_ref, b_ref, eps)
-    g = jax.lax.dot_general(
-        xn.astype(x_ref.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[:].astype(jnp.float32)
-    h = _gelu(g)
-    y = jax.lax.dot_general(
-        h.astype(x_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[:].astype(jnp.float32)
+    y = _mlp_body(xn.astype(x_ref.dtype), w1_ref, b1_ref, w2_ref) \
+        + b2_ref[:].astype(jnp.float32)
     y = y * gate_ref[:] + x
     y_ref[:] = y.astype(y_ref.dtype)
     _, _, yn = _ln(y, gn_ref, bn_ref, eps)
@@ -92,15 +128,8 @@ def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 gate_ref, y_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)
     _, _, xn = _ln(x, g_ref, b_ref, eps)
-    g = jax.lax.dot_general(
-        xn.astype(x_ref.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[:].astype(jnp.float32)
-    h = _gelu(g)
-    y = jax.lax.dot_general(
-        h.astype(x_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[:].astype(jnp.float32)
+    y = _mlp_body(xn.astype(x_ref.dtype), w1_ref, b1_ref, w2_ref) \
+        + b2_ref[:].astype(jnp.float32)
     y_ref[:] = (y * gate_ref[:] + x).astype(y_ref.dtype)
 
 

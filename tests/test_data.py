@@ -282,6 +282,30 @@ class TestScriptedSceneCues:
         labels = self._label_world_track(track, corridor_ctx)
         assert (labels[:-5] == INTENTIONS_MAP["OTHER"]).all(), labels.tolist()
 
+    def test_lane_changer_spec_labels_lane_change(self, corridor_ctx):
+        # the generator's lane-changer spec (yaw_rate 0.075-0.11 rad/s,
+        # random initial phase 0-8 deg): dh over the 3 s horizon is
+        # 12.9-18.9 deg — inside (5, 20) at every phase, so the body of
+        # the track labels LEFT/RIGHT_CHANGE_LANE with the correct side
+        from intentbev.data.synthetic import _integrate_track
+
+        for sign, want in ((1.0, "LEFT_CHANGE_LANE"),
+                           (-1.0, "RIGHT_CHANGE_LANE")):
+            for phase, rate, v in ((0.0, 0.075, 5.0), (0.14, 0.11, 9.0),
+                                   (0.07, 0.09, 7.0)):
+                track = _integrate_track(
+                    {"start": (10.0, 1.75 + sign * phase * 12.0),
+                     "velocity": (v, 0.0), "yaw": sign * phase,
+                     "yaw_rate": sign * rate}, 60)
+                labels = self._label_world_track(track, corridor_ctx)
+                # trim the horizon-clipped tail: with < ~1.2 s of future
+                # left, dh = yaw_rate * dt falls under the 5 deg
+                # KEEP_LANE bound even at the max in-band rate (the same
+                # clip every curved track has at its end)
+                body = labels[:-12]
+                frac = float((body == INTENTIONS_MAP[want]).mean())
+                assert frac >= 0.95, (sign, phase, rate, v, labels.tolist())
+
     def test_explicit_track_in_synthetic_log(self, tmp_path):
         import pandas as pd
 
