@@ -208,6 +208,11 @@ def main():
     # forward-only passes); training keeps the validated 256 default, so
     # this is scoped to the bench process rather than changed globally
     os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "512")
+    # hidden-chunked fused-MLP forward (v5e sweep: 768 = 73.37 fps vs
+    # monolithic 72.78; 512/384 neutral-to-negative — two 768 chunks give
+    # Mosaic one extra independent fc1/gelu/fc2 chain to pipeline without
+    # fragmenting the matmuls). Serving-process scope, like the above.
+    os.environ.setdefault("INTENTBEV_MLP_HCHUNK", "768")
 
     int8 = "--int8" in sys.argv  # W8A8 serving mode (configs.serving_int8)
     model = None

@@ -26,6 +26,7 @@ def capture(out_dir: str, steps: int = 6):
 
     # match bench.py's serving-process defaults (bench.main sets this too)
     os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "512")
+    os.environ.setdefault("INTENTBEV_MLP_HCHUNK", "768")
     from bench import build_bench
 
     infer, args = build_bench(
