@@ -38,6 +38,19 @@ class TestFusedLnMlp:
         want = np.asarray(_ref(*args))
         np.testing.assert_allclose(got, want, atol=5e-5)
 
+    def test_forward_hidden_chunked_matches(self, rng, monkeypatch):
+        # INTENTBEV_MLP_HCHUNK serving path (two 256-chunks of dh=512):
+        # fc2 distributes over hidden slices, so the chunked body must
+        # match the monolithic kernel up to f32 partial-sum rounding
+        import intentbev.ops.fused_ln_mlp as m
+
+        args = self._inputs(rng)
+        monkeypatch.setattr(m, "MLP_HCHUNK", 256)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_ln_mlp(*args))
+        want = np.asarray(_ref(*args))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
     def test_forward_with_gate(self, rng):
         x, gamma, beta, w1, b1, w2, b2 = self._inputs(rng, n=256)
         gate = jnp.asarray(
