@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _COMPILER_PARAMS, _COMPILER_PARAMS_SEQ, _dgelu, _gelu
+from .fused_mlp import (_COMPILER_PARAMS, _COMPILER_PARAMS_SEQ, _dgelu,
+                        _gelu, _require_exact_gelu_for_grad)
 
 BLOCK_ROWS_LND = 256
 
@@ -171,6 +172,8 @@ def _fused_ln_dense2(x2, gamma, beta, w, bias, eps, gelu):
 
 
 def _fld_fwd(x2, gamma, beta, w, bias, eps, gelu):
+    if gelu:
+        _require_exact_gelu_for_grad()
     y = _fwd(x2, gamma, beta, w, bias, eps, gelu)
     return y, (x2, gamma, beta, w, bias)
 

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _COMPILER_PARAMS, _COMPILER_PARAMS_SEQ, _gelu, _dgelu
+from .fused_mlp import (_COMPILER_PARAMS, _COMPILER_PARAMS_SEQ, _gelu,
+                        _dgelu, _require_exact_gelu_for_grad)
 
 import os as _os
 
@@ -302,6 +303,7 @@ def _fused_ln_mlp2(x2, gamma, beta, w1, b1, w2, b2, gate2, eps):
 
 
 def _flm_fwd(x2, gamma, beta, w1, b1, w2, b2, gate2, eps):
+    _require_exact_gelu_for_grad()
     y = _fwd(x2, gamma, beta, w1, b1, w2, b2, gate2, eps)
     return y, (x2, gamma, beta, w1, b1, w2, gate2)
 

@@ -58,8 +58,21 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+# Serving-only GELU variant knob (default "erf" = exact, always used by
+# training/backward). "sigmoid" swaps the forward nonlinearity for
+# x*sigmoid(1.702x) — one exp + one reciprocal instead of the A&S erf's
+# reciprocal + exp + 5-term Horner + sign/select chain. NOT numerically
+# faithful (max abs dev ~0.020 vs exact GELU near |x|~2.3): a perf
+# experiment knob; adopt only if e2e fps gains AND eval metrics on a
+# trained checkpoint are unchanged (docs/PERF.md records the outcome).
+_GELU_MODE = _os.environ.get("INTENTBEV_GELU", "erf")
+
+
 def _gelu(x):
-    """Exact (erf) GELU, matching jax.nn.gelu(approximate=False)."""
+    """Forward GELU: exact (erf), matching jax.nn.gelu(approximate=False),
+    unless INTENTBEV_GELU=sigmoid (serving perf experiment, see above)."""
+    if _GELU_MODE == "sigmoid":
+        return x / (1.0 + jnp.exp(-1.702 * x))
     return 0.5 * x * (1.0 + _erf(x / _SQRT_2))
 
 
@@ -67,6 +80,20 @@ def _dgelu(x):
     return 0.5 * (1.0 + _erf(x / _SQRT_2)) + x * _INV_SQRT_2PI * jnp.exp(
         -0.5 * x * x
     )
+
+
+def _require_exact_gelu_for_grad():
+    """Trace-time guard called by every custom-VJP fwd that recomputes GELU
+    in its backward: the backward kernels pair the forward ``_gelu`` with the
+    exact-erf derivative ``_dgelu``, so differentiating under
+    INTENTBEV_GELU=sigmoid would silently produce mismatched grads. The knob
+    is serving-only; fail loudly if a training step reaches a VJP with it on."""
+    if _GELU_MODE != "erf":
+        raise RuntimeError(
+            "INTENTBEV_GELU=%s is a serving-only forward variant; "
+            "differentiation requires the exact erf GELU (unset the env var "
+            "for training)." % _GELU_MODE
+        )
 
 
 def _pad_rows(n: int) -> int:
@@ -199,6 +226,7 @@ def _fused_mlp2(x2, w1, b1, w2, b2, res2, gate2):
 
 
 def _fm_fwd(x2, w1, b1, w2, b2, res2, gate2):
+    _require_exact_gelu_for_grad()
     y = _fwd(x2, w1, b1, w2, b2, res2, gate2)
     return y, (x2, w1, b1, w2, gate2)
 

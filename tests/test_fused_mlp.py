@@ -1,8 +1,11 @@
 """Fused Pallas MLP numerics vs the plain jnp reference (interpret mode)."""
 
+import importlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from intentbev.ops.fused_mlp import fused_mlp
@@ -57,3 +60,35 @@ class TestFusedMlp:
             )).astype(np.float32)
         want = np.asarray(_ref(x, w1, b1, w2, b2, r))
         np.testing.assert_allclose(got, want, atol=0.25, rtol=0.05)
+
+class TestGeluModes:
+    """The INTENTBEV_GELU knob (fused_mlp._GELU_MODE): default is the exact
+    erf GELU; "sigmoid" is a serving-only perf experiment whose deviation
+    from exact GELU is bounded (~0.020 abs near |x|~2.3)."""
+
+    def test_default_matches_exact_gelu(self):
+        fm = importlib.import_module("intentbev.ops.fused_mlp")
+        x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(fm._gelu(x)),
+            np.asarray(jax.nn.gelu(x, approximate=False)), atol=2e-6)
+
+    def test_sigmoid_mode_blocks_differentiation(self, monkeypatch):
+        """Backward kernels pair _gelu with the erf derivative, so grads under
+        sigmoid mode would be silently mismatched — the VJP must refuse."""
+        fm = importlib.import_module("intentbev.ops.fused_mlp")
+        monkeypatch.setattr(fm, "_GELU_MODE", "sigmoid")
+        d, dh = 128, 256
+        x = jnp.ones((256, d))
+        w1, b1 = jnp.ones((d, dh)) * 0.01, jnp.zeros(dh)
+        w2, b2 = jnp.ones((dh, d)) * 0.01, jnp.zeros(d)
+        with pytest.raises(RuntimeError, match="serving-only"):
+            jax.grad(lambda x: jnp.sum(fm.fused_mlp(x, w1, b1, w2, b2, x)))(x)
+
+    def test_sigmoid_mode_bounded_deviation(self, monkeypatch):
+        fm = importlib.import_module("intentbev.ops.fused_mlp")
+        monkeypatch.setattr(fm, "_GELU_MODE", "sigmoid")
+        x = jnp.linspace(-8.0, 8.0, 8001, dtype=jnp.float32)
+        dev = np.abs(np.asarray(fm._gelu(x))
+                     - np.asarray(jax.nn.gelu(x, approximate=False)))
+        assert dev.max() < 0.021, dev.max()
