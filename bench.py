@@ -204,15 +204,24 @@ def main():
     import os
     import sys
 
-    # serving-only fused-tail block size (v5e sweep: 512 > 384 > 256 for
-    # forward-only passes); training keeps the validated 256 default, so
-    # this is scoped to the bench process rather than changed globally
-    os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "512")
+    # serving-only fused-tail block size (v5e sweeps: 512 > 384 > 256
+    # forward-only; 1024 beats 512 by a further ~+0.5 under the sigmoid
+    # GELU below); training keeps the validated 256 default, so this is
+    # scoped to the bench process rather than changed globally
+    os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "1024")
     # hidden-chunked fused-MLP forward (v5e sweep: 768 = 73.37 fps vs
     # monolithic 72.78; 512/384 neutral-to-negative — two 768 chunks give
     # Mosaic one extra independent fc1/gelu/fc2 chain to pipeline without
     # fragmenting the matmuls). Serving-process scope, like the above.
     os.environ.setdefault("INTENTBEV_MLP_HCHUNK", "768")
+    # serving GELU variant: x*sigmoid(1.702x) forward (73.2 -> 75.7 fps;
+    # +1024 row block = 76.2). Adoption gate passed on the trained r3d
+    # checkpoint: held-out metrics identical to exact erf within noise
+    # (macro-F1 0.5461 vs 0.5440, mAP@0.5 0.7957 vs 0.7952 — docs/PERF.md
+    # "sigmoid GELU serving adoption"). Forward-only: the custom-VJP
+    # kernels refuse to differentiate under this knob (ops/fused_mlp.py
+    # _require_exact_gelu_for_grad), so training is unaffected.
+    os.environ.setdefault("INTENTBEV_GELU", "sigmoid")
 
     int8 = "--int8" in sys.argv  # W8A8 serving mode (configs.serving_int8)
     model = None
