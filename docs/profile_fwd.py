@@ -24,9 +24,10 @@ def capture(out_dir: str, steps: int = 6):
     sys.path.insert(0, ".")
     import os
 
-    # match bench.py's serving-process defaults (bench.main sets this too)
-    os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "512")
+    # match bench.py's serving-process defaults (bench.main sets these too)
+    os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "1024")
     os.environ.setdefault("INTENTBEV_MLP_HCHUNK", "768")
+    os.environ.setdefault("INTENTBEV_GELU", "sigmoid")
     from bench import build_bench
 
     infer, args = build_bench(
