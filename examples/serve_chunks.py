@@ -1,8 +1,10 @@
 """Sustained offline serving on the fused chunk-transport path.
 
-Drives ``StreamingInferencer(transport="chunks")`` — the 72.7 fps/chip
-flagship configuration (docs/PERF.md) — with a real producer/consumer
-pipeline: a host thread builds placement chunks (C++ ``ib_build_chunks``)
+Drives ``StreamingInferencer(transport="chunks")`` — the flagship serving
+configuration (docs/PERF.md; this process sets the same serving env knobs
+as bench.py so the numbers are comparable to the flagship bench line) —
+with a real producer/consumer pipeline: a host thread builds placement
+chunks (C++ ``ib_build_chunks``)
 for upcoming frames while the device runs the current batch. Reports
 three numbers:
 
@@ -34,6 +36,17 @@ def main():
     p.add_argument("--iters", type=int, default=10,
                    help="device-only timing iterations")
     args = p.parse_args()
+
+    # serving-process env knobs, matching bench.py's flagship line (set
+    # BEFORE intentbev.ops imports — the kernels read them at import time):
+    # block 1024 + hidden chunk 768 + sigmoid GELU (eval-parity-gated,
+    # docs/PERF.md "sigmoid GELU serving adoption"). Inference-only process,
+    # so the forward-only GELU variant is safe here.
+    import os
+
+    os.environ.setdefault("INTENTBEV_LNMLP_BLOCK", "1024")
+    os.environ.setdefault("INTENTBEV_MLP_HCHUNK", "768")
+    os.environ.setdefault("INTENTBEV_GELU", "sigmoid")
 
     import jax
     import jax.numpy as jnp

@@ -69,6 +69,7 @@ def batch_iterator(
     num_workers: int = 4,
     drop_last: bool = False,
     augment=None,
+    skip_batches: int = 0,
 ) -> Iterator[Batch]:
     """Yield fixed-shape batches; failed samples are dropped (so a batch can
     be smaller than ``batch_size``, like the reference's collate_fn).
@@ -79,6 +80,14 @@ def batch_iterator(
     ``Batch.aug_params`` so the device applies the SAME transform to the
     raw points pre-voxelization (bev.augment). Seeded by ``seed``:
     deterministic per epoch.
+
+    ``skip_batches``: fast-forward over the first N batches without loading
+    them (mid-epoch resume). Shuffle order and augmentation draws are made
+    for the FULL epoch first, so skipping k batches yields exactly the
+    batches a full iteration would have yielded from position k on — under
+    the near-infallible-load assumption (a dropped failed sample before the
+    skip point shifts the boundary by one; precomputed labels make loads
+    infallible in practice).
     """
     from ..bev.augment import IDENTITY_AUG, aug_linear_matrix, draw_aug_params
 
@@ -92,6 +101,9 @@ def batch_iterator(
     else:
         params = np.tile(IDENTITY_AUG, (len(order), 1))
         linears = [None] * len(order)
+    if skip_batches:
+        n_skip = skip_batches * batch_size
+        order, params, linears = order[n_skip:], params[n_skip:], linears[n_skip:]
 
     if num_workers <= 1:
         pending: list[Sample] = []

@@ -195,7 +195,13 @@ def write_synthetic_log(
         for v in vehicles
     ]
     for traj in trajs:
-        assert traj.shape == (num_frames, 3), traj.shape
+        # ValueError (not assert): explicit-track inputs are user data, and
+        # a wrong-length track under `python -O` would silently truncate
+        if traj.shape != (num_frames, 3):
+            raise ValueError(
+                f"explicit track must be [{num_frames}, 3] (x, y, yaw) rows, "
+                f"got {traj.shape}"
+            )
     ann_rows = []
     track_ids = []
     for v, traj in zip(vehicles, trajs):

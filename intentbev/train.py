@@ -337,6 +337,7 @@ def train(
     )
     start_epoch = 0
     step_count = 0
+    resume_skip = 0
     if resume:
         from .checkpoint import latest_step, load_checkpoint
 
@@ -347,9 +348,15 @@ def train(
                 "loop": {"lr": np.zeros((), np.float32),
                          "best": np.zeros((), np.float32),
                          "bad_epochs": np.zeros((), np.int32),
-                         "epoch": np.zeros((), np.int32)},
+                         "epoch": np.zeros((), np.int32),
+                         "epoch_batch": np.zeros((), np.int32)},
             }
-            restored, _ = load_checkpoint(out_dir, abstract)
+            try:
+                restored, _ = load_checkpoint(out_dir, abstract)
+            except Exception:
+                # legacy checkpoint written before epoch_batch existed
+                del abstract["loop"]["epoch_batch"]
+                restored, _ = load_checkpoint(out_dir, abstract)
             state = TrainState(
                 params=restored["params"], batch_stats=restored["batch_stats"],
                 opt_state=restored["opt_state"], step=restored["step"],
@@ -358,10 +365,13 @@ def train(
             # continue where they stopped (reference regime is per-epoch
             # plateau decay, train_vit.py:131 — resetting LR to base on
             # resume would silently change the schedule). The data iterator
-            # position is NOT saved: a mid-epoch resume replays the
-            # interrupted epoch from its start.
+            # position IS saved (loop.epoch_batch = batches consumed in the
+            # in-progress epoch): a mid-epoch resume fast-forwards the
+            # deterministically seeded iterator to where it stopped instead
+            # of replaying or skipping the rest of that epoch.
             scheduler.restore(restored["loop"])
             start_epoch = int(restored["loop"]["epoch"])
+            resume_skip = int(np.asarray(restored["loop"].get("epoch_batch", 0)))
             step_count = int(np.asarray(state.step))
             if resume_lr is not None:
                 # explicit finetune phase: new LR + plateau-tracking reset
@@ -369,8 +379,9 @@ def train(
             state = state._replace(
                 opt_state=set_learning_rate(state.opt_state, scheduler.lr))
             log_fn(
-                f"resumed from step {step_count} (epoch {start_epoch}, "
-                f"lr {scheduler.lr:.2e}, best {scheduler.best:.4f})"
+                f"resumed from step {step_count} (epoch {start_epoch} "
+                f"batch {resume_skip}, lr {scheduler.lr:.2e}, "
+                f"best {scheduler.best:.4f})"
             )
 
     anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
@@ -426,19 +437,26 @@ def train(
     last_metrics: dict = {}
     t_start = time.time()
 
-    def ckpt_state(epoch: int) -> dict:
+    def ckpt_state(epoch: int, epoch_batch: int = 0) -> dict:
+        # epoch_batch = batches already consumed in the in-progress epoch
+        # (0 = epoch boundary); resume fast-forwards the seeded iterator to it
         return {
             "params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step,
-            "loop": {**scheduler.state(), "epoch": np.int32(epoch)},
+            "loop": {**scheduler.state(), "epoch": np.int32(epoch),
+                     "epoch_batch": np.int32(epoch_batch)},
         }
 
     epoch = start_epoch - 1  # final-save accounting if the loop body never runs
+    skip = 0
+    n_batches = 0
+    interrupted = False  # True when max_steps stops the loop mid-epoch
     for epoch in range(start_epoch, cfg.train.num_epochs):
+        skip = resume_skip if epoch == start_epoch else 0
         it = batch_iterator(
             local_sequences, loader, local_batch_size, shuffle=True,
             seed=cfg.train.seed + epoch, num_workers=num_workers, drop_last=True,
-            augment=cfg.augment,
+            augment=cfg.augment, skip_batches=skip,
         )
         accum = {"loss": 0.0, "cls_loss": 0.0, "box_loss": 0.0, "intent_loss": 0.0}
         n_batches = 0
@@ -482,22 +500,43 @@ def train(
                 # restored step on resume) so checkpoint names keep sorting
                 # after the pre-resume ones and _prune never deletes newer
                 # progress.
-                save_checkpoint(out_path, step_count, ckpt_state(epoch), cfg)
+                save_checkpoint(
+                    out_path, step_count, ckpt_state(epoch, skip + n_batches), cfg)
             if max_steps is not None and step_count >= max_steps:
+                interrupted = True
                 break
         if n_batches:
             drain_pending()
             last_metrics = {k: v / n_batches for k, v in accum.items()}
-            new_lr = scheduler.step(last_metrics["loss"])
-            state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
-            log_fn(
-                f"epoch {epoch + 1} done: avg loss {last_metrics['loss']:.4f} "
-                f"lr {new_lr:.1e}"
-            )
-        if max_steps is not None and step_count >= max_steps:
+            if interrupted:
+                # mid-epoch stop: do NOT step the plateau scheduler on a
+                # partial-epoch mean — segmented runs (train_segments.sh)
+                # would otherwise consume plateau patience epoch_len/SEG
+                # times faster than the per-epoch regime the scheduler
+                # models. The epoch finishes (and steps the scheduler)
+                # after resume.
+                log_fn(
+                    f"epoch {epoch + 1} interrupted at batch {skip + n_batches}: "
+                    f"avg loss {last_metrics['loss']:.4f} (partial)"
+                )
+            else:
+                new_lr = scheduler.step(last_metrics["loss"])
+                state = state._replace(
+                    opt_state=set_learning_rate(state.opt_state, new_lr))
+                log_fn(
+                    f"epoch {epoch + 1} done: avg loss {last_metrics['loss']:.4f} "
+                    f"lr {new_lr:.1e}"
+                )
+        if interrupted:
             break
 
-    save_checkpoint(out_path, step_count, ckpt_state(epoch + 1), cfg)
+    # mid-epoch stop: record the intra-epoch position so resume continues
+    # exactly there (epoch index NOT advanced); clean stop: epoch boundary
+    save_checkpoint(
+        out_path, step_count,
+        ckpt_state(epoch if interrupted else epoch + 1,
+                   (skip + n_batches) if interrupted else 0),
+        cfg)
     log_fn(f"saved final checkpoint at step {step_count} to {out_path}")
     return last_metrics
 

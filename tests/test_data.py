@@ -216,6 +216,45 @@ class TestMultiEpochThreadedIteration:
             assert n == len(seqs) // 2
 
 
+class TestIteratorSkip:
+    """Mid-epoch resume fast-forward: batch_iterator(skip_batches=k) must
+    yield exactly the batches a full iteration yields from position k on —
+    same shuffle order AND same augmentation draws (the RNG consumes the
+    full-epoch draws before slicing)."""
+
+    def test_skip_matches_tail_of_full_iteration(self, split_dir):
+        from intentbev.configs import AugmentConfig
+        from intentbev.data.pipeline import batch_iterator
+
+        precompute_run(str(split_dir.parent), [split_dir.name], force=False)
+        v = ScenarioValidator(str(split_dir), verbose=False)
+        seqs = build_sequence_index(v.find_valid_scenarios(), num_sweeps=3)
+        loader = ArgoverseSampleLoader(GRID, max_gt=8, verbose=False)
+        aug = AugmentConfig()
+        kw = dict(shuffle=True, seed=7, num_workers=1, drop_last=True,
+                  augment=aug)
+        full = list(batch_iterator(seqs, loader, 2, **kw))
+        assert len(full) >= 3
+        k = 2
+        tail = list(batch_iterator(seqs, loader, 2, skip_batches=k, **kw))
+        assert len(tail) == len(full) - k
+        for a, b in zip(full[k:], tail):
+            np.testing.assert_array_equal(a.points, b.points)
+            np.testing.assert_array_equal(a.gt_boxes, b.gt_boxes)
+            np.testing.assert_array_equal(a.aug_params, b.aug_params)
+
+    def test_skip_past_end_yields_nothing(self, split_dir):
+        from intentbev.data.pipeline import batch_iterator
+
+        v = ScenarioValidator(str(split_dir), verbose=False)
+        seqs = build_sequence_index(v.find_valid_scenarios(), num_sweeps=3)
+        loader = ArgoverseSampleLoader(GRID, max_gt=8, verbose=False)
+        out = list(batch_iterator(seqs, loader, 2, shuffle=True, seed=0,
+                                  num_workers=1, drop_last=True,
+                                  skip_batches=10_000))
+        assert out == []
+
+
 class TestScriptedSceneCues:
     """The evidence-dataset generator's class cues survive labeling
     (examples/make_synthetic_dataset.py; docs/TRAINING.md). These guard

@@ -154,6 +154,46 @@ class TestFaithfulResume:
         assert float(state2["loop"]["best"]) <= best1
         assert float(state2["loop"]["lr"]) <= lr1
 
+    def test_mid_epoch_interrupt_saves_position_not_next_epoch(
+            self, data_root, tiny_cfg, tmp_path):
+        """A max_steps stop mid-epoch must (a) keep the epoch index (resume
+        replays nothing and skips nothing — it fast-forwards via
+        loop.epoch_batch), and (b) NOT step the plateau scheduler on the
+        partial-epoch mean (segmented runs would decay LR epoch_len/SEG
+        times too fast)."""
+        import dataclasses as dc
+
+        from intentbev.checkpoint import load_checkpoint
+        from intentbev.train import train
+
+        out = tmp_path / "midresume_run"
+        cfg = dc.replace(
+            tiny_cfg,
+            train=dc.replace(tiny_cfg.train, num_epochs=2,
+                             checkpoint_every_steps=100),
+        )
+        # 8 sequences / batch 2 = 4 batches per epoch; stop after 2
+        train(cfg, str(data_root / "train"), str(out),
+              num_workers=1, max_steps=2, log_fn=lambda *_: None)
+        state1, _ = load_checkpoint(out)
+        assert int(state1["loop"]["epoch"]) == 0  # epoch 0 still in progress
+        assert int(state1["loop"]["epoch_batch"]) == 2
+        # scheduler untouched by the partial epoch: lr at base, best at inf
+        assert float(state1["loop"]["lr"]) == float(
+            np.float32(cfg.train.learning_rate))
+        assert not np.isfinite(float(state1["loop"]["best"]))
+
+        # resume: must report the fast-forward position and finish cleanly
+        logs = []
+        train(cfg, str(data_root / "train"), str(out),
+              num_workers=1, log_fn=logs.append, resume=True)
+        assert any("epoch 0 batch 2" in str(line) for line in logs)
+        state2, _ = load_checkpoint(out)
+        assert int(state2["loop"]["epoch"]) == 2  # both epochs completed
+        assert int(state2["loop"]["epoch_batch"]) == 0
+        # total optimizer steps = 2 (segment) + 2 (rest of epoch 0) + 4
+        assert int(np.asarray(state2["step"])) == 8
+
     def test_prefetch_propagates_producer_errors(self):
         from intentbev.data.pipeline import device_prefetch
 

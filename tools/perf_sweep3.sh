@@ -9,8 +9,8 @@ run() {
   echo "=== $* ==="
   env "$@" timeout 1200 python bench.py --voxembed 2>/dev/null | tail -1
 }
-echo "--- baseline (erf GELU, hchunk 768 serving default) ---"
-run INTENTBEV_NOOP=1
+echo "--- baseline (erf GELU — explicit: bench.py now defaults to sigmoid) ---"
+run INTENTBEV_GELU=erf
 echo "--- sigmoid GELU ---"
 run INTENTBEV_GELU=sigmoid
 run INTENTBEV_GELU=sigmoid INTENTBEV_MLP_HCHUNK=512

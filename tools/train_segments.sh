@@ -6,6 +6,12 @@
 # from the latest checkpoint in a fresh process each time. On production
 # hosts (no retention) it is unnecessary — run the CLI directly.
 #
+# Mid-epoch segment boundaries are exact: train.py checkpoints the
+# intra-epoch iterator position (loop.epoch_batch) and resume fast-forwards
+# the seeded iterator to it — no epoch index is burned, no data is skipped
+# or replayed, and the plateau scheduler only steps on COMPLETED epochs
+# (never on a segment's partial-epoch mean).
+#
 # Usage:
 #   tools/train_segments.sh <segment_steps> <total_steps> <out_dir> [train args...]
 # Example:
