@@ -322,10 +322,30 @@ def train(
 
     intention_weights = None
     if use_intention_weights and not cfg.loss.apply_intention_downsampling:
-        log_fn("computing intention class weights from training GT...")
-        w = compute_intention_class_weights(sequences, loader)
+        # the counting pass is bounded but still minutes of loader work;
+        # segmented runs (train_segments.sh) pay it at EVERY resume, so the
+        # result is cached in out_dir keyed by the dataset identity
+        cache_file = Path(out_dir) / "intent_weights.json"
+        cache_key = {"data_dir": str(Path(data_dir).absolute()),
+                     "n_sequences": len(sequences)}
+        w = None
+        if cache_file.exists():
+            import json
+
+            cached = json.loads(cache_file.read_text())
+            if cached.get("key") == cache_key:
+                w = np.asarray(cached["weights"], dtype=np.float32)
+                log_fn(f"intention class weights (cached): {np.round(w, 4)}")
+        if w is None:
+            import json
+
+            log_fn("computing intention class weights from training GT...")
+            w = compute_intention_class_weights(sequences, loader)
+            Path(out_dir).mkdir(parents=True, exist_ok=True)
+            cache_file.write_text(json.dumps(
+                {"key": cache_key, "weights": [float(x) for x in w]}))
+            log_fn(f"intention class weights: {np.round(w, 4)}")
         intention_weights = jnp.asarray(w)
-        log_fn(f"intention class weights: {np.round(w, 4)}")
     elif use_intention_weights:
         log_fn(
             "Warning: intention weights requested but downsampling is on; "
@@ -436,6 +456,7 @@ def train(
     mlog = MetricsLogger(out_path / "metrics.jsonl")
     last_metrics: dict = {}
     t_start = time.time()
+    start_step = step_count  # rate accounting: steps THIS process ran
 
     def ckpt_state(epoch: int, epoch_batch: int = 0) -> dict:
         # epoch_batch = batches already consumed in the in-progress epoch
@@ -486,7 +507,11 @@ def train(
             if step_count % cfg.train.log_every_steps == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 drain_pending()
-                rate = step_count * cfg.train.batch_size / (time.time() - t_start)
+                # resumed runs: count only the steps this process executed —
+                # dividing the GLOBAL step by this process's elapsed time
+                # inflated the reported rate after every resume
+                rate = ((step_count - start_step) * cfg.train.batch_size
+                        / (time.time() - t_start))
                 mlog.log(step_count, samples_per_sec=rate, **m)
                 log_fn(
                     f"epoch {epoch + 1} step {step_count} "

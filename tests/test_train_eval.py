@@ -194,6 +194,35 @@ class TestFaithfulResume:
         # total optimizer steps = 2 (segment) + 2 (rest of epoch 0) + 4
         assert int(np.asarray(state2["step"])) == 8
 
+    def test_intention_weight_cache_reused_on_resume(
+            self, data_root, tiny_cfg, tmp_path):
+        """Segmented runs must not pay the class-weight counting pass at
+        every resume: the result is cached in out_dir keyed by dataset."""
+        import dataclasses as dc
+        import json
+
+        from intentbev.train import train
+
+        out = tmp_path / "wcache_run"
+        cfg = dc.replace(
+            tiny_cfg,
+            loss=dc.replace(tiny_cfg.loss, apply_intention_downsampling=False),
+        )
+        logs1: list = []
+        train(cfg, str(data_root / "train"), str(out), num_workers=1,
+              max_steps=1, log_fn=logs1.append, use_intention_weights=True)
+        assert any("computing intention class weights" in str(x) for x in logs1)
+        cache = json.loads((out / "intent_weights.json").read_text())
+        assert len(cache["weights"]) == 8
+
+        logs2: list = []
+        train(cfg, str(data_root / "train"), str(out), num_workers=1,
+              max_steps=2, log_fn=logs2.append, use_intention_weights=True,
+              resume=True)
+        assert any("(cached)" in str(x) for x in logs2)
+        assert not any("computing intention class weights" in str(x)
+                       for x in logs2)
+
     def test_prefetch_propagates_producer_errors(self):
         from intentbev.data.pipeline import device_prefetch
 
