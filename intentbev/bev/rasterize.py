@@ -90,13 +90,17 @@ def fill_polygon(mask: np.ndarray, pts: np.ndarray) -> None:
     """Even-odd scanline fill of integer-vertex polygon into bool/uint8 mask.
 
     ``pts`` is int[K, 2] as (col, row) like cv2.fillPoly point order.
-    Fills pixels whose integer coordinates are inside (or on a left/top
-    boundary of) the polygon — close to cv2's convention. Dispatches to the
-    C++ host library when built (cpp/intentbev_host.cpp); the numpy scanline
-    below is the fallback + oracle.
+    Matches cv2.fillPoly's convention (utils.py:155-180): interior pixels by
+    even-odd scanline, PLUS the closed 1-px outline — cv2 always draws the
+    boundary, which matters for thin polygons (a 12-px-wide crosswalk loses
+    its bottom row, ~8% IoU, under a pure half-open scanline; see
+    test_reference_pipeline_parity). Dispatches to the C++ host library when
+    built (cpp/intentbev_host.cpp); the numpy scanline below is the
+    fallback + oracle.
     """
     if pts.shape[0] < 3:
         return
+    draw_polyline(mask, np.vstack([pts, pts[:1]]))
     from ..utils.native import fill_polygon_native
 
     if fill_polygon_native(mask, pts):

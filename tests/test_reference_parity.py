@@ -8,10 +8,6 @@ decode, axis-aligned IoU, VOC AP, NMS, and the full loss (target assignment
 + focal + smooth-L1 + intention CE).
 """
 
-import importlib.util
-import sys
-import types
-
 import numpy as np
 import pytest
 import torch
@@ -19,81 +15,17 @@ import torch
 import jax
 import jax.numpy as jnp
 
-REF = "/root/reference"
-
-
-def _install_torchvision_stub():
-    if "torchvision" in sys.modules:
-        return
-    tv = types.ModuleType("torchvision")
-    ops = types.ModuleType("torchvision.ops")
-
-    def nms(boxes, scores, iou_threshold):
-        order = torch.argsort(scores, descending=True)
-        keep = []
-        suppressed = torch.zeros(len(scores), dtype=torch.bool)
-        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-        for i in order.tolist():
-            if suppressed[i]:
-                continue
-            keep.append(i)
-            xx1 = torch.maximum(boxes[i, 0], boxes[:, 0])
-            yy1 = torch.maximum(boxes[i, 1], boxes[:, 1])
-            xx2 = torch.minimum(boxes[i, 2], boxes[:, 2])
-            yy2 = torch.minimum(boxes[i, 3], boxes[:, 3])
-            inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
-            iou = inter / (areas[i] + areas - inter + 1e-7)
-            suppressed |= iou > iou_threshold
-        return torch.tensor(keep, dtype=torch.long)
-
-    def sigmoid_focal_loss(inputs, targets, alpha=0.25, gamma=2.0, reduction="none"):
-        p = torch.sigmoid(inputs)
-        ce = torch.nn.functional.binary_cross_entropy_with_logits(
-            inputs, targets, reduction="none")
-        p_t = p * targets + (1 - p) * (1 - targets)
-        loss = ce * ((1 - p_t) ** gamma)
-        if alpha >= 0:
-            alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
-            loss = alpha_t * loss
-        if reduction == "sum":
-            return loss.sum()
-        if reduction == "mean":
-            return loss.mean()
-        return loss
-
-    ops.nms = nms
-    ops.sigmoid_focal_loss = sigmoid_focal_loss
-    tv.ops = ops
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.ops"] = ops
-
-
-def _load(name):
-    _install_torchvision_stub()
-    if name in sys.modules:
-        return sys.modules[name]
-    spec = importlib.util.spec_from_file_location(name, f"{REF}/{name}.py")
-    mod = importlib.util.module_from_spec(spec)
-    # the reference's `-> Polygon | None` annotation evaluates at def time
-    # and NameErrors when shapely is absent (a documented latent defect,
-    # SURVEY.md §2); pre-seed the name so the module loads
-    mod.Polygon = object
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
+from ref_modules import load_ref
 
 
 @pytest.fixture(scope="module")
 def ref_utils():
-    _load("constants")
-    return _load("utils")
+    return load_ref("utils")
 
 
 @pytest.fixture(scope="module")
 def ref_loss():
-    _load("constants")
-    _load("utils")
-    return _load("loss")
+    return load_ref("loss")
 
 
 class TestAnchorsParity:
