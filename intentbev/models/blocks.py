@@ -42,12 +42,18 @@ class BasicBlock(nn.Module):
             dtype=self.dtype,
             name=name,
         )
+        # torch-style symmetric padding ((k-1)//2 each side, reference
+        # model_cnn.py:7-9), NOT "SAME": for stride-2 convs SAME pads
+        # asymmetrically (e.g. (1, 2) for k=5), sampling a half-pixel-shifted
+        # grid — forwards could never match reference weights
+        # (tools: intentbev.import_torch). Identical to SAME at stride 1.
+        pad = (self.kernel_size - 1) // 2
         identity = x
         y = nn.Conv(
             self.planes,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=False,
             kernel_init=conv_kernel_init,
             dtype=self.dtype,
@@ -57,7 +63,7 @@ class BasicBlock(nn.Module):
         y = nn.Conv(
             self.planes,
             (self.kernel_size, self.kernel_size),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=False,
             kernel_init=conv_kernel_init,
             dtype=self.dtype,

@@ -55,6 +55,8 @@ _DEPS = {
     "loss": ["constants", "utils"],
     "heuristic_labeling": ["constants"],
     "dataset": ["constants", "utils", "heuristic_labeling"],
+    "heads": ["constants"],
+    "model_cnn": ["constants", "heads"],
 }
 
 
