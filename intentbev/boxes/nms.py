@@ -25,12 +25,22 @@ NEG_INF = -1e9
 
 
 class Detections(NamedTuple):
-    """Fixed-size per-sample detections, sorted by descending score."""
+    """Fixed-size per-sample detections, sorted by descending score.
+
+    ``num_conf``/``num_kept`` audit the fixed-shape truncation caps that the
+    reference's dynamic lists don't have (eval_cnn.py:167-183 keeps every
+    anchor above the confidence threshold): ``num_conf > max_pre_nms`` or
+    ``num_kept > max_detections`` means a cap bound and this sample's
+    detection set differs from the uncapped reference definition. The eval
+    CLI counts and reports these (``pre_nms_overflow``/``det_overflow``).
+    """
 
     boxes_xywha: jnp.ndarray  # f32[max_det, 5]
     scores: jnp.ndarray       # f32[max_det]
     intentions: jnp.ndarray   # i32[max_det]
     valid: jnp.ndarray        # bool[max_det]
+    num_conf: jnp.ndarray     # i32[] anchors above the confidence threshold
+    num_kept: jnp.ndarray     # i32[] NMS survivors (pre max_detections cut)
 
     @property
     def num_valid(self) -> jnp.ndarray:
@@ -155,6 +165,8 @@ def postprocess_detections(
         scores=jnp.where(out_valid[:max_detections], out_scores[:max_detections], 0.0),
         intentions=out_intent[:max_detections],
         valid=out_valid[:max_detections],
+        num_conf=jnp.sum(conf_ok.astype(jnp.int32)),
+        num_kept=jnp.sum(keep.astype(jnp.int32)),
     )
 
 

@@ -50,6 +50,12 @@ class EvalAccum(NamedTuple):
     ap_sum: jnp.ndarray      # f32[num_iou]
     num_samples: jnp.ndarray  # i32
     confusion: jnp.ndarray   # i32[C, C]
+    # Truncation-cap audit (the reference keeps dynamic uncapped lists,
+    # eval_cnn.py:167-183; intentbev's fixed shapes cap at max_pre_nms /
+    # max_detections). Nonzero counts mean a cap bound and the metrics
+    # deviate from the uncapped reference definition for those samples.
+    pre_nms_overflow: jnp.ndarray  # i32 samples with conf-pass > max_pre_nms
+    det_overflow: jnp.ndarray      # i32 samples with NMS-kept > max_detections
 
 
 def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray,
@@ -108,6 +114,12 @@ def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray,
             ap_sum=accum.ap_sum + jnp.sum(ap, axis=0),
             num_samples=accum.num_samples + jnp.sum(sample_valid.astype(jnp.int32)),
             confusion=conf.matrix,
+            pre_nms_overflow=accum.pre_nms_overflow + jnp.sum(
+                ((det.num_conf > ev.max_pre_nms) & sample_valid).astype(jnp.int32)
+            ),
+            det_overflow=accum.det_overflow + jnp.sum(
+                ((det.num_kept > ev.max_detections) & sample_valid).astype(jnp.int32)
+            ),
         ), det
 
     def init_accum():
@@ -115,6 +127,8 @@ def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray,
             ap_sum=jnp.zeros((len(iou_thresholds),), dtype=jnp.float32),
             num_samples=jnp.zeros((), dtype=jnp.int32),
             confusion=jnp.zeros((num_classes, num_classes), dtype=jnp.int32),
+            pre_nms_overflow=jnp.zeros((), dtype=jnp.int32),
+            det_overflow=jnp.zeros((), dtype=jnp.int32),
         )
 
     if mesh is None:
@@ -129,7 +143,8 @@ def make_eval_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray,
             "gt_boxes": b_shard, "gt_intentions": b_shard, "gt_valid": b_shard,
             "aug_params": b_shard,  # identity at eval; carried by Batch
         }
-        accum_shardings = EvalAccum(ap_sum=rep, num_samples=rep, confusion=rep)
+        accum_shardings = EvalAccum(ap_sum=rep, num_samples=rep, confusion=rep,
+                                    pre_nms_overflow=rep, det_overflow=rep)
         # variables keep the (replicated) sharding the caller device_put them
         # with; detections come back batch-sharded.
         eval_step = jax.jit(
@@ -205,6 +220,15 @@ def evaluate(
     num = max(int(accum.num_samples), 1)
     maps = np.asarray(accum.ap_sum) / num
     results = {"num_samples": int(accum.num_samples)}
+    pre_ovf, det_ovf = int(accum.pre_nms_overflow), int(accum.det_overflow)
+    results["pre_nms_overflow"] = pre_ovf
+    results["det_overflow"] = det_ovf
+    log_fn(f"truncation-cap audit: {pre_ovf} samples above max_pre_nms="
+           f"{cfg.eval.max_pre_nms}, {det_ovf} above max_detections="
+           f"{cfg.eval.max_detections}"
+           + (" (caps bound: metrics deviate from the uncapped reference "
+              "definition on those samples — raise eval.max_pre_nms/"
+              "max_detections)" if pre_ovf or det_ovf else " (caps never bound)"))
     log_fn(f"--- Detection results ({int(accum.num_samples)} samples, "
            f"{time.time() - t0:.1f}s) ---")
     for t, m in zip(cfg.eval.detection_iou_thresholds, maps):

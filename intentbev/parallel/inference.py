@@ -89,6 +89,7 @@ class StreamingInferencer:
         det_shard = Detections(
             boxes_xywha=self._b_shard, scores=self._b_shard,
             intentions=self._b_shard, valid=self._b_shard,
+            num_conf=self._b_shard, num_kept=self._b_shard,
         )
         if transport == "chunks":
             from ..ops.voxel_embed import VoxelChunks

@@ -284,6 +284,39 @@ class TestNMS:
             confidence_threshold=0.1, max_pre_nms=16, max_detections=8,
         )
         assert int(jnp.sum(det.valid)) == 0
+        assert int(det.num_conf) == 0 and int(det.num_kept) == 0
+
+    def test_overflow_counters(self, rng):
+        """num_conf/num_kept audit the fixed-shape caps the reference's
+        dynamic lists don't have (eval_cnn.py:167-183). A conf-flood must
+        report num_conf > max_pre_nms; widely-spaced survivors exceeding
+        max_detections must report num_kept > max_detections."""
+        n = 96
+        # far apart: zero pairwise IoU, NMS keeps everything
+        anchors = np.stack([np.arange(n) * 50.0, np.zeros(n),
+                            np.full(n, 2.0), np.full(n, 4.5),
+                            np.zeros(n)], axis=1).astype(np.float32)
+        cls_logits = jnp.asarray(
+            rng.uniform(2.0, 4.0, (n, 1)).astype(np.float32))  # all pass conf
+        det = postprocess_detections(
+            cls_logits, jnp.zeros((n, 6)), jnp.zeros((n, 8)),
+            jnp.asarray(anchors),
+            confidence_threshold=0.1, nms_iou_threshold=0.2,
+            max_pre_nms=64, max_detections=16,
+        )
+        assert int(det.num_conf) == n > 64          # pre-NMS cap bound
+        assert int(det.num_kept) == 64 > 16         # detection cap bound
+        assert int(det.valid.sum()) == 16           # output still truncates
+        # no overflow when caps are generous (max_pre_nms == n == all anchors)
+        det2 = postprocess_detections(
+            cls_logits, jnp.zeros((n, 6)), jnp.zeros((n, 8)),
+            jnp.asarray(anchors),
+            confidence_threshold=0.1, nms_iou_threshold=0.2,
+            max_pre_nms=n, max_detections=128,
+        )
+        assert int(det2.num_conf) == n
+        assert int(det2.num_kept) == n
+        assert int(det2.valid.sum()) == n
 
 
 class TestApproxTopK:

@@ -58,3 +58,20 @@ def test_overfit_synthetic_log(tmp_path):
     res = evaluate(str(out), str(root), num_workers=2, log_fn=lambda *_: None)
     assert res["mAP@0.5"] > 0.3, res
     assert res.get("intention_accuracy", 0) > 0.8, res
+
+    # truncation-cap audit: with caps >= the full anchor set (480 on the
+    # tiny grid) the fixed-shape eval is definitionally identical to the
+    # reference's uncapped lists (eval_cnn.py:167-183), and the audit must
+    # report zero overflow. The binding-cap case (undertrained flood with
+    # tight caps, audit reports it) is covered in test_train_eval.py.
+    from intentbev.checkpoint import load_checkpoint
+
+    _, ck_cfg = load_checkpoint(str(out))
+    uncapped = dataclasses.replace(
+        ck_cfg, eval=dataclasses.replace(
+            ck_cfg.eval, max_pre_nms=480, max_detections=480))
+    res2 = evaluate(str(out), str(root), cfg_override=uncapped,
+                    num_workers=2, log_fn=lambda *_: None)
+    assert res2["pre_nms_overflow"] == 0, res2
+    assert res2["det_overflow"] == 0, res2
+    assert res2["mAP@0.5"] > 0.3, res2

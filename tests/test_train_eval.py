@@ -109,6 +109,15 @@ class TestEvalLoop:
             assert 0.0 <= results[f"mAP@{t:.1f}"] <= 1.0
         joined = "\n".join(logs)
         assert "mAP @ IoU=0.5" in joined
+        # truncation-cap audit: after only 2 train steps the objectness head
+        # is ~random, sigmoid ~= 0.5 everywhere, so (nearly) every anchor
+        # clears conf 0.1 — exactly the early-training flood where the fixed
+        # max_pre_nms cap binds and metrics deviate from the reference's
+        # uncapped lists (eval_cnn.py:167-183). The audit must report it on
+        # every sample. (test_overfit_e2e asserts ZERO overflow on a trained
+        # model — the operating point.)
+        assert results["pre_nms_overflow"] == 8
+        assert "caps bound" in joined
 
 
 class TestFaithfulResume:
