@@ -75,8 +75,14 @@ def main():
         pts[..., 2] = r.uniform(g.z_min, g.z_max - 0.1, pts.shape[:3])
         pts[..., 3] = r.uniform(0, 255, pts.shape[:3])
         pv = np.ones((B, S, P), bool)
-        mp = (r.uniform(0, 1, (B, g.height_px, g.width_px, g.map_channels))
-              < 0.05).astype(np.float32)
+        # bit-packed u8 map transport (the loader's production encoding;
+        # decode_map_transport unpacks on device) — 18x fewer H2D bytes
+        # than f32, which matters wherever host->device bandwidth is the
+        # sustained-pipeline limiter
+        from intentbev.bev.rasterize import pack_map_channels
+        mp = pack_map_channels(
+            r.uniform(0, 1, (B, g.height_px, g.width_px, g.map_channels))
+            < 0.05)
         return pts, pv, mp
 
     # --- host chunk-build rate ---
@@ -94,11 +100,13 @@ def main():
     mp_dev = jax.device_put(jnp.asarray(mp0))
     iters = args.iters
     t0 = time.perf_counter()
+    det_dev = None
     for _ in range(iters):
-        det = inf.infer_chunks(staged, mp_dev)  # infer_chunks blocks (np pull)
+        det_dev = inf.infer_chunks(staged, mp_dev, blocking=False)
+    inf.fetch(det_dev)  # sync: same-stream, so this drains all iters
     dt = time.perf_counter() - t0
     print(f"device inference: {B * iters / dt:.1f} frames/s "
-          f"(incl. per-batch detection fetch)")
+          f"(queued dispatch; one detection fetch at the end)")
 
     # --- sustained pipeline: producer thread builds, consumer infers ---
     q: queue.Queue = queue.Queue(maxsize=2)
@@ -111,14 +119,19 @@ def main():
 
     threading.Thread(target=producer, daemon=True).start()
     n = 0
+    det = None  # double-buffer: fetch batch i while i+1 computes
     t0 = time.perf_counter()
     while True:
         item = q.get()
         if item is None:
             break
         chunks, mp = item
-        det = inf.infer_chunks(chunks, mp)
+        det_dev = inf.infer_chunks(chunks, mp, blocking=False)
+        if det is not None:
+            inf.fetch(det)
+        det = det_dev
         n += B
+    det = inf.fetch(det)
     dt = time.perf_counter() - t0
     print(f"sustained pipeline: {n / dt:.1f} frames/s over {n} frames "
           f"(incl. host build + host->device transfer)")

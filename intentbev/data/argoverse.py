@@ -346,6 +346,8 @@ class ArgoverseSampleLoader:
         import threading
 
         self._cache_lock = threading.Lock()  # loaders run in a thread pool
+        # samples whose GT exceeded max_gt and was truncated (see _load)
+        self.gt_overflow_samples = 0
         # sweep windows slide by 1 frame, so consecutive samples share 9/10
         # sweeps — cache decoded (sweep-ego xyz f32, intensity f32) per
         # timestamp. Bound: max_cached_logs * this * ~16B * points/sweep.
@@ -481,6 +483,18 @@ class ArgoverseSampleLoader:
         gt_boxes, gt_intents, gt_valid = prepare_gt_for_frame(
             seq.current_ts_ns, log_data["gt_table"], self.max_gt
         )
+        # GT-truncation audit (sibling of the eval pre-NMS/detection cap
+        # audit): the reference keeps every annotated box (utils.py:184-225
+        # has no cap); intentbev pads to a fixed max_gt and silently drops
+        # the rest. Count samples where that bound binds so eval/train can
+        # report it — only recompute the raw row count in the rare all-slots-
+        # full case.
+        if gt_valid.all() and log_data["gt_table"] is not None:
+            n_raw = int(np.count_nonzero(
+                log_data["gt_table"]["timestamp_ns"] == seq.current_ts_ns))
+            if n_raw > self.max_gt:
+                with self._cache_lock:
+                    self.gt_overflow_samples += 1
         return Sample(packed, packed_valid, map_bev, gt_boxes, gt_intents, gt_valid)
 
     def _decoded_sweep(self, log_data: dict, lidar_base: Path, ts: int):

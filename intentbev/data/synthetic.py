@@ -136,7 +136,12 @@ def write_synthetic_log(
     """Create one synthetic log; returns its directory.
 
     ``vehicles``: list of dicts with keys ``start`` (xy), ``velocity`` (xy),
-    ``yaw``, ``category``, plus optional curved/decelerating motion:
+    ``yaw``, ``category``, optional ``frames`` — a half-open ``(start, stop)``
+    frame range outside which the vehicle has no annotation rows and sheds
+    no lidar points (models tracks that appear/disappear mid-log, the way
+    real AV2 annotations drop occluded or out-of-range objects; frames where
+    NO vehicle is present become genuinely empty-GT frames) — plus optional
+    curved/decelerating motion:
     ``yaw_rate`` (rad/s; the track integrates heading so turning vehicles
     actually curve) and ``accel`` (m/s^2 along heading, clamped at 0 speed;
     gives STOPPING tracks). A vehicle may instead carry an explicit
@@ -204,10 +209,13 @@ def write_synthetic_log(
             )
     ann_rows = []
     track_ids = []
-    for v, traj in zip(vehicles, trajs):
+    frame_ranges = [v.get("frames", (0, num_frames)) for v in vehicles]
+    for v, traj, (f0, f1) in zip(vehicles, trajs, frame_ranges):
         tid = uuid.uuid4().hex
         track_ids.append(tid)
         for i, ts in enumerate(timestamps):
+            if not (f0 <= i < f1):
+                continue
             x, y, yaw = traj[i]
             ann_rows.append({
                 "timestamp_ns": int(ts),
@@ -238,7 +246,9 @@ def write_synthetic_log(
             rng.uniform(-1.9, -1.6, points_per_sweep // 2),
         ], axis=1)
         vpts = []
-        for v, traj in zip(vehicles, trajs):
+        for v, traj, (f0, f1) in zip(vehicles, trajs, frame_ranges):
+            if not (f0 <= i < f1):
+                continue
             vx, vy, vyaw = traj[i]
             vx -= ex
             half_l = v.get("length", 4.5) / 2.0

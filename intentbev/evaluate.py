@@ -223,6 +223,15 @@ def evaluate(
     pre_ovf, det_ovf = int(accum.pre_nms_overflow), int(accum.det_overflow)
     results["pre_nms_overflow"] = pre_ovf
     results["det_overflow"] = det_ovf
+    # counted loader-side over every sample it produced (prefetch may load
+    # slightly past max_batches)
+    gt_ovf = loader.gt_overflow_samples
+    results["gt_overflow"] = gt_ovf
+    log_fn(f"GT-truncation audit: {gt_ovf} samples with more than "
+           f"max_gt_boxes={cfg.loss.max_gt_boxes} annotated boxes"
+           + (" (GT truncated: recall is understated vs the reference's "
+              "uncapped GT — raise loss.max_gt_boxes)" if gt_ovf
+              else " (never truncated)"))
     log_fn(f"truncation-cap audit: {pre_ovf} samples above max_pre_nms="
            f"{cfg.eval.max_pre_nms}, {det_ovf} above max_detections="
            f"{cfg.eval.max_detections}"

@@ -72,32 +72,31 @@ def greedy_match(
     GT is already matched is NOT given a second-best GT).
 
     Returns (tp_flags bool[P], matched_gt_idx i32[P] with -1 for non-TP).
+
+    Closed form, no sequential loop: each prediction's candidate GT (its
+    argmax row) is FIXED before any matching happens, so the only
+    order-dependence is "was my GT taken by an earlier prediction" — and
+    the earlier prediction that takes GT g is exactly the lowest-index
+    eligible prediction whose argmax is g. One scatter-min over
+    prediction indices computes that for every GT at once; the former
+    fori_loop formulation (r3) serialized P iterations per IoU threshold
+    for the same result.
     """
     num_pred, num_gt = iou_matrix.shape
+    if num_gt == 0:
+        return (jnp.zeros((num_pred,), dtype=bool),
+                jnp.full((num_pred,), -1, dtype=jnp.int32))
     iou_masked = jnp.where(gt_valid[None, :], iou_matrix, -1.0)
 
-    def body(i, carry):
-        gt_matched, tp, match_idx = carry
-        row = iou_masked[i]
-        best_gt = jnp.argmax(row)
-        best_iou = row[best_gt]
-        is_tp = (
-            pred_valid[i]
-            & (num_gt > 0)
-            & (best_iou >= iou_threshold)
-            & (~gt_matched[best_gt])
-        )
-        gt_matched = gt_matched.at[best_gt].set(gt_matched[best_gt] | is_tp)
-        tp = tp.at[i].set(is_tp)
-        match_idx = match_idx.at[i].set(jnp.where(is_tp, best_gt, -1))
-        return gt_matched, tp, match_idx
-
-    init = (
-        jnp.zeros((max(num_gt, 1),), dtype=bool),
-        jnp.zeros((num_pred,), dtype=bool),
-        jnp.full((num_pred,), -1, dtype=jnp.int32),
+    idx = jnp.arange(num_pred, dtype=jnp.int32)
+    best_gt = jnp.argmax(iou_masked, axis=1)
+    best_iou = jnp.take_along_axis(iou_masked, best_gt[:, None], axis=1)[:, 0]
+    eligible = pred_valid & (best_iou >= iou_threshold)
+    first_idx = jnp.full((num_gt,), num_pred, dtype=jnp.int32).at[best_gt].min(
+        jnp.where(eligible, idx, num_pred)
     )
-    _, tp, match_idx = jax.lax.fori_loop(0, num_pred, body, init)
+    tp = eligible & (first_idx[best_gt] == idx)
+    match_idx = jnp.where(tp, best_gt, -1).astype(jnp.int32)
     return tp, match_idx
 
 

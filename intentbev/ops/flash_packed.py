@@ -46,8 +46,18 @@ FWD_LANE_BLOCK = 384      # fwd channel block: all 6 heads in one program —
                           # without growing the VMEM working set the way a
                           # larger row block does
 BLOCK_Q_PK = 384          # fwd row-block (512/768 measured slower, also with wide lanes)
-BLOCK_BWD_PK = 256        # bwd row-blocks (384 measured no better)
 import os as _os
+
+# bwd row-block (env-tunable for on-chip sweeps; 256 is the r3-validated
+# default, 384 measured no better under the 128-lane pair block)
+BLOCK_BWD_PK = int(_os.environ.get("INTENTBEV_BWD_BLOCK", "256"))
+# bwd channel (head-group) block: 128 = two D=64 heads per program.
+# Widening to 384 puts all 6 heads in one program — the same
+# amortization the FORWARD adopted (FWD_LANE_BLOCK) — at the cost of 3x
+# wider q/k/v/do panels in VMEM; feasible under the raised
+# vmem_limit_bytes (ops/mosaic.py). Falls back to 128 when the model
+# width isn't divisible.
+BWD_LANE_BLOCK = int(_os.environ.get("INTENTBEV_BWD_LANE_BLOCK", "128"))
 # Online-softmax chunked forward (``_fwd_kernel_chunked``): KV tile size,
 # 0 = monolithic kernel. Env-tunable for on-chip experiments.
 FWD_KV_CHUNK = int(_os.environ.get("INTENTBEV_FWD_KV_CHUNK", "0"))
@@ -373,7 +383,12 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
     do3 = g[0] if isinstance(g, tuple) else g
     b, t_pad, dm = q3.shape
     dh = dm // num_heads
-    hp = _heads_per_block(dh)
+    lane_block = BWD_LANE_BLOCK if (
+        BWD_LANE_BLOCK % dh == 0
+        and num_heads % (BWD_LANE_BLOCK // dh) == 0
+        and dm % BWD_LANE_BLOCK == 0
+    ) else LANE_BLOCK
+    hp = _heads_per_block(dh, lane_block)
     n_pairs = num_heads // hp
     # delta per head, stored like lse: [B, H, T_pad, 1]
     delta = jnp.transpose(
@@ -394,15 +409,15 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
         grid=(b, n_pairs, nq),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
-            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, bq, 1), lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, bq, 1), lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p),
+        out_specs=pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, dm), q3.dtype),
         scratch_shapes=[
@@ -417,16 +432,16 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
         grid=(b, n_pairs, nk),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
-            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, LANE_BLOCK), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, t_pad, 1), lambda i, p, j: (i, p, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, t_pad, 1), lambda i, p, j: (i, p, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, LANE_BLOCK), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, t_pad, dm), k3.dtype),

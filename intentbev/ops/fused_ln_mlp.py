@@ -59,6 +59,13 @@ BLOCK_ROWS_LNMLP = int(_os.environ.get("INTENTBEV_LNMLP_BLOCK", "256"))
 # matches the monolithic dot bit-for-bit up to f32 add reassociation.
 MLP_HCHUNK = int(_os.environ.get("INTENTBEV_MLP_HCHUNK", "0"))
 
+# Row block for the BACKWARD kernel only (0 = same as BLOCK_ROWS_LNMLP).
+# The bwd recomputes the forward per row block and accumulates dw1/dw2 in
+# VMEM, so its working set and its per-program overhead both differ from
+# the forward's — it earns its own sweep knob (VERDICT r3 item 5). Falls
+# back when the padded row count isn't divisible.
+LNMLP_BWD_BLOCK = int(_os.environ.get("INTENTBEV_LNMLP_BWD_BLOCK", "0"))
+
 
 def _pad_rows(n: int) -> int:
     return ((n + BLOCK_ROWS_LNMLP - 1) // BLOCK_ROWS_LNMLP) * BLOCK_ROWS_LNMLP
@@ -257,7 +264,9 @@ def _bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, gate_ref, dy_ref,
 def _bwd_call(x2, gamma, beta, w1, b1, w2, gate2, dy2, eps):
     n, d = x2.shape
     dh = w1.shape[1]
-    R = BLOCK_ROWS_LNMLP
+    R = (LNMLP_BWD_BLOCK
+         if LNMLP_BWD_BLOCK and n % LNMLP_BWD_BLOCK == 0
+         else BLOCK_ROWS_LNMLP)
     const = lambda i: (0, 0)
     row = lambda i: (i, 0)
     dx, dgamma, dbeta, dw1, db1, dw2, db2 = pl.pallas_call(

@@ -80,6 +80,15 @@ class StreamingInferencer:
             return postprocess(cls_l, box_d, int_l)
 
         def infer_chunks(variables, chunks, map_bev):
+            # widen narrow-transport index dtypes (u8 slots / i16 channels,
+            # see build_chunks) back to the kernel's i32 — an elementwise
+            # convert inside the program (~0.05 ms/batch at HBM speed) that
+            # buys a ~33% smaller host->device transfer
+            chunks = chunks._replace(
+                wid=chunks.wid.astype(jnp.int32),
+                sl=chunks.sl.astype(jnp.int32),
+                ch=chunks.ch.astype(jnp.int32),
+            )
             cls_l, box_d, int_l = self.model.apply(
                 variables, chunks,
                 decode_map_transport(map_bev, grid.map_channels, mdt),
@@ -114,15 +123,24 @@ class StreamingInferencer:
 
     def build_chunks(self, points, points_valid):
         """Host side of the chunk transport (callable from loader threads
-        so chunk building overlaps device inference)."""
-        from ..ops.voxel_embed import build_voxel_chunks, stack_voxel_chunks
+        so chunk building overlaps device inference).
+
+        Index fields ship NARROW — slot-in-window as u8 (window=64 slots),
+        channel as i16 (< 32768 BEV channels) — and are widened to the
+        kernel's i32 inside the jitted program. Exact (pure dtype
+        round-trip, unused slots hold zeros); cuts the chunk transfer from
+        3.95 to 2.64 MB/sample, which is the difference wherever the
+        host->device link (tunnel, DCN feed) is the sustained-rate
+        limiter."""
+        from ..ops.voxel_embed import (WINDOW, build_voxel_chunks,
+                                       stack_voxel_chunks)
 
         pts = np.asarray(points)
         if pts.dtype == np.int16:  # i16-cm transport (quantize_points_cm)
             pts = pts.astype(np.float32) * np.asarray(
                 [0.01, 0.01, 0.01, 1.0], np.float32)
         vld = np.asarray(points_valid)
-        return stack_voxel_chunks([
+        chunks = stack_voxel_chunks([
             build_voxel_chunks(
                 pts[i], vld[i], self.cfg.grid,
                 self.cfg.vit.patch_size, num_chunks=self.num_chunks,
@@ -130,13 +148,33 @@ class StreamingInferencer:
             )[0]
             for i in range(pts.shape[0])
         ])
+        g = self.cfg.grid
+        if WINDOW <= 256 and g.lidar_total_channels < 32768:
+            chunks = chunks._replace(
+                sl=np.asarray(chunks.sl).astype(np.uint8),
+                ch=np.asarray(chunks.ch).astype(np.int16),
+            )
+        return chunks
 
-    def infer_chunks(self, chunks, map_bev) -> Detections:
-        """Run pre-built placement chunks (transport='chunks' only)."""
+    def infer_chunks(self, chunks, map_bev, blocking: bool = True) -> Detections:
+        """Run pre-built placement chunks (transport='chunks' only).
+
+        ``blocking=False`` returns DEVICE-resident Detections immediately
+        after dispatch (XLA runs async); call :meth:`fetch` on the result
+        when you need host arrays. A double-buffered serving loop submits
+        batch i+1 before fetching batch i, overlapping device compute
+        with the detection readback — on hosts where the readback has
+        nontrivial latency this is the difference between serialized and
+        pipelined sustained throughput."""
         args = local_batch_slice(
             {"chunks": chunks, "map_bev": map_bev}, self.mesh, self.cfg.mesh,
         )
         det = self._infer(self.variables, args["chunks"], args["map_bev"])
+        return self.fetch(det) if blocking else det
+
+    @staticmethod
+    def fetch(det: Detections) -> Detections:
+        """Device Detections (from ``blocking=False``) -> host numpy."""
         return jax.tree.map(np.asarray, det)
 
     def __call__(self, points, points_valid, map_bev) -> Detections:

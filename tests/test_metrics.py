@@ -130,6 +130,36 @@ class TestIntentionMetrics:
             f1_score(gt, pred, labels=list(range(C)), average=None, zero_division=0),
             atol=1e-6)
 
+    @pytest.mark.parametrize("seed", range(5))
+    def test_greedy_match_closed_form_equals_sequential(self, seed):
+        """The r4 scatter-min closed form vs a literal sequential oracle
+        of the reference rule (eval_cnn.py:236-244): iterate predictions
+        in order, each takes its own argmax GT iff IoU clears threshold
+        and the GT is free — including the quirk that a pred whose best
+        GT is taken gets NO second chance. Random IoUs with deliberate
+        collisions (few GTs, many preds)."""
+        r = np.random.default_rng(seed)
+        P, G = 32, 4
+        iou = (r.uniform(0, 1, (P, G)) ** 2).astype(np.float32)
+        pv = r.uniform(0, 1, P) < 0.8
+        gv = r.uniform(0, 1, G) < 0.8
+        thr = 0.3
+
+        masked = np.where(gv[None, :], iou, -1.0)
+        taken = np.zeros(G, bool)
+        tp_ref = np.zeros(P, bool)
+        mi_ref = np.full(P, -1, np.int32)
+        for i in range(P):
+            g = int(np.argmax(masked[i]))
+            if pv[i] and masked[i, g] >= thr and not taken[g]:
+                taken[g] = True
+                tp_ref[i] = True
+                mi_ref[i] = g
+        tp, mi = greedy_match(
+            jnp.asarray(iou), jnp.asarray(pv), jnp.asarray(gv), thr)
+        np.testing.assert_array_equal(np.asarray(tp), tp_ref)
+        np.testing.assert_array_equal(np.asarray(mi), mi_ref)
+
     def test_match_intentions_greedy_semantics(self, rng):
         # one gt, two overlapping preds: only the higher-scored pred matches
         gt = np.array([[0.0, 0.0, 2.0, 4.0, 0.0]], dtype=np.float32)

@@ -18,15 +18,19 @@ pytestmark = pytest.mark.skipif(not NATIVE_AVAILABLE,
 
 class TestNativeRaster:
     def test_fill_polygon_matches_numpy(self, rng):
-        # compare against the pure-numpy scanline implementation directly
+        # fill_polygon = closed outline (host-side, both paths) + even-odd
+        # fill (C++ when built, numpy scanline otherwise) — compare the
+        # FULL fill_polygon with native dispatch on vs off (comparing raw
+        # fill_polygon_native against it would miss the outline the
+        # wrapper adds since the cv2-parity fix, rasterize.py fill_polygon)
         from intentbev.bev import rasterize as rz
+        import intentbev.utils.native as nat
 
+        assert nat.NATIVE_AVAILABLE
         for _ in range(5):
             pts = rng.uniform(3, 60, (rng.integers(3, 8), 2)).astype(np.int32)
             native = np.zeros((64, 64), np.uint8)
-            assert fill_polygon_native(native, pts)
-            # run the numpy fallback by bypassing the native dispatch
-            import intentbev.utils.native as nat
+            rz.fill_polygon(native, pts)
             numpy_mask = np.zeros((64, 64), np.uint8)
             orig = nat.NATIVE_AVAILABLE
             try:

@@ -281,6 +281,103 @@ class TestMultiHostSharding:
         assert local == seqs and bs == 8
 
 
+class TestFlagshipShapeMultichip:
+    """Multi-chip validation at FLAGSHIP shapes (VERDICT r3 item 5): the
+    tiny-config dryrun proves plumbing; these prove the full-size programs
+    actually lower + compile under the production shardings."""
+
+    def test_aot_compile_full_size_dp_tp_train_step(self):
+        """AOT lower+compile (no run) of the full 400x720 / 290-ch /
+        22,500-anchor DP x TP (4,2) train step on the 8-device mesh,
+        with abstract (ShapeDtypeStruct) inputs so no full-size arrays are
+        ever materialized. ~85 s XLA CPU compile."""
+        from intentbev.configs import default_vit_config
+        from intentbev.train import init_train_state, make_optimizer
+
+        cfg = default_vit_config()
+        cfg = dataclasses.replace(
+            cfg,
+            vit=dataclasses.replace(cfg.vit, use_flash_attention=False),
+            mesh=MeshConfig(model_parallel=2),
+        )
+        model = build_model(cfg, train_mode=True)
+        tx = make_optimizer(cfg)
+        mesh = create_mesh(cfg.mesh, devices=jax.devices()[:8])
+        anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
+        state_sd = jax.eval_shape(
+            lambda: init_train_state(model, cfg, tx, jax.random.key(0)))
+
+        g = cfg.grid
+        B, S, P, G = 8, g.lidar_sweeps, 2048, cfg.loss.max_gt_boxes
+        sd = jax.ShapeDtypeStruct
+        batch_sd = {
+            "points": sd((B, S, P, 4), jnp.float32),
+            "points_valid": sd((B, S, P), jnp.bool_),
+            "map_bev": sd((B, g.height_px, g.width_px, g.map_channels), jnp.float32),
+            "gt_boxes": sd((B, G, 5), jnp.float32),
+            "gt_intentions": sd((B, G), jnp.int32),
+            "gt_valid": sd((B, G), jnp.bool_),
+            "aug_params": sd((B, 3), jnp.float32),
+        }
+        step = make_sharded_train_step(model, cfg, anchors, tx, mesh)(state_sd)
+        compiled = step.lower(state_sd, batch_sd, jax.random.key(0)).compile()
+        # sanity: the compiled program exists and reports memory use
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            assert mem.temp_size_in_bytes > 0
+
+    def test_16device_streaming_inference_dryrun(self):
+        """BASELINE config 5 (v5e-16 streaming inference): a 16-device
+        data-parallel StreamingInferencer mesh compiles and executes one
+        batch. Needs 16 virtual devices, so it re-execs in a subprocess
+        (conftest pins this process to 8)."""
+        import os
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        code = """
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from intentbev.configs import MeshConfig, tiny_test_config
+from intentbev.models import build_model
+from intentbev.parallel import StreamingInferencer, create_mesh
+import dataclasses, jax.numpy as jnp
+
+assert len(jax.devices()) == 16, jax.devices()
+cfg = tiny_test_config()
+cfg = dataclasses.replace(cfg, mesh=MeshConfig(model_parallel=1))
+mesh = create_mesh(cfg.mesh, devices=jax.devices())
+assert mesh.devices.shape == (16, 1), mesh.devices.shape
+g = cfg.grid
+model = build_model(cfg)
+lidar0 = jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels))
+map0 = jnp.zeros((1, g.height_px, g.width_px, g.map_channels))
+variables = model.init(jax.random.key(0), lidar0, map0)
+inf = StreamingInferencer(cfg, variables, mesh=mesh)
+assert inf.batch_multiple == 16
+B, S, P = 16, g.lidar_sweeps, 128
+r = np.random.default_rng(0)
+pts = np.zeros((B, S, P, 4), np.float32)
+pts[..., 0] = r.uniform(0, 10, (B, S, P)); pts[..., 1] = r.uniform(-5, 5, (B, S, P))
+pts[..., 2] = r.uniform(-1, 1, (B, S, P)); pts[..., 3] = r.uniform(0, 255, (B, S, P))
+mp = r.uniform(0, 1, (B, g.height_px, g.width_px, g.map_channels)).astype(np.float32)
+det = inf(pts, np.ones((B, S, P), bool), mp)
+assert det.boxes_xywha.shape == (B, cfg.eval.max_detections, 5)
+assert np.isfinite(det.scores).all()
+print('STREAM16 OK', det.valid.sum())
+"""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+        env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+        r = subprocess.run([_sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        assert "STREAM16 OK" in r.stdout
+
+
 class TestMultiHostExecution:
     def test_two_process_cpu_smoke(self, tmp_path):
         """REAL 2-process jax.distributed run (gloo CPU collectives, 2x2
