@@ -83,10 +83,19 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
 
     @jax.jit
     def infer_chunks(variables, chunks, map_bev):
-        # fused voxelize+patch-embed serving path (ops.voxel_embed): the
-        # lidar stream enters as host-built placement chunks; the dense
-        # BEV never exists in HBM (no scatter / layout copy / conv)
-        cls_l, box_d, int_l = model.apply(variables, chunks, map_bev)
+        # Chunk-transport serving path (ops.voxel_embed). ViT: fused
+        # voxelize+patch-embed — the dense BEV never exists in HBM (no
+        # scatter / layout copy / conv). CNN: the same host chunks feed
+        # voxel_fill_bev, a linear VMEM-band writer that replaces the XLA
+        # scatter-max + layout copy (~27 ms of the dense CNN profile).
+        if model_name == "cnn":
+            from intentbev.ops.voxel_embed import voxel_fill_bev
+            lidar = voxel_fill_bev(
+                chunks, (g.height_px, g.width_px), g.lidar_total_channels,
+                8, dtype=jnp.bfloat16)
+            cls_l, box_d, int_l = model.apply(variables, lidar, map_bev)
+        else:
+            cls_l, box_d, int_l = model.apply(variables, chunks, map_bev)
         det = batched_postprocess(
             cls_l, box_d, int_l, anchors,
             confidence_threshold=ev.confidence_threshold,
@@ -138,8 +147,9 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
 
     if voxembed:
         ones = np.ones((s, points_per_sweep), bool)
+        patch = cfg.vit.patch_size if model_name == "vit" else 8
         chunks = stack_voxel_chunks([
-            build_voxel_chunks(pts[b], ones, g, cfg.vit.patch_size)[0]
+            build_voxel_chunks(pts[b], ones, g, patch)[0]
             for b in range(batch_size)
         ])
         chunks = jax.tree_util.tree_map(
@@ -324,7 +334,12 @@ def main():
                  batch_size=batch, voxembed=True)
         return
     if model == "cnn":
-        run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
+        if "--voxembed_cnn" in sys.argv or "--cnn_chunks" in sys.argv:
+            run_mode("bev_frames_per_sec_per_chip_cnn_chunks", "cnn",
+                     batch_size=batch, voxembed=True)
+        else:
+            run_mode("bev_frames_per_sec_per_chip_cnn", "cnn",
+                     batch_size=batch)
         return
     if int8:
         # W8A8 line keeps its own metric key round over round, also when
@@ -343,6 +358,8 @@ def main():
 
     # secondary lines first; flagship LAST (drivers parse the last line)
     run_mode("bev_frames_per_sec_per_chip_cnn", "cnn", batch_size=batch)
+    run_mode("bev_frames_per_sec_per_chip_cnn_chunks", "cnn",
+             batch_size=batch, voxembed=True)
     run_mode("bev_frames_per_sec_per_chip_dense", "vit", batch_size=batch)
     run_sustained(batch_size=batch)
     run_mode("bev_frames_per_sec_per_chip", "vit", batch_size=batch,

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mosaic import kernel_params
+from .mosaic import kernel_params, sequential_params
 
 # VMEM limit + optional megacore dimension_semantics (see ops/mosaic.py);
 # every grid here is (batch, head-group, row/key-block) — fully parallel.
@@ -58,6 +58,26 @@ BLOCK_BWD_PK = int(_os.environ.get("INTENTBEV_BWD_BLOCK", "256"))
 # vmem_limit_bytes (ops/mosaic.py). Falls back to 128 when the model
 # width isn't divisible.
 BWD_LANE_BLOCK = int(_os.environ.get("INTENTBEV_BWD_LANE_BLOCK", "128"))
+# Chunked backward (``_bwd_dq_kernel_chunked``/``_bwd_dkv_kernel_chunked``):
+# stream the contraction axis (keys for dq, queries for dkv) in tiles so
+# MXU matmuls of tile j+1 overlap the VPU exp/mult of tile j — the same
+# restructuring as the serving forward's FWD_KV_CHUNK win, but EXACT here
+# with no softmax-safety tradeoff: the backward reconstructs p as
+# exp(s - lse) with no running max, so tiling is pure accumulation (f32
+# partial-sum order is the only difference vs the monolithic kernels).
+# 0 = monolithic (default until measured on-chip).
+BWD_KV_CHUNK = int(_os.environ.get("INTENTBEV_BWD_KV_CHUNK", "0"))
+# Fused one-pass backward (``_bwd_fused_kernel``): ONE kernel computes
+# dq, dk, dv per row-block, accumulating dk/dv into constant-index-map
+# f32 output blocks across the sequential row-block grid axis (the same
+# revisit pattern as the MLP-family dW accumulators). Eliminates the
+# split kernels' duplicated work: the score matmul p = exp(qK^T - lse)
+# and the t = do.V^T matmul are computed ONCE instead of once per kernel
+# — 2 of the 4 slow D=64-contraction matmuls and half the exp volume.
+# The replacement dv/dk matmuls contract over the row block (256+), the
+# MXU-friendly axis. 1 = fused (measured faster on v5e, see
+# docs/PERF.md "Training step"); 0 = split dq/dkv kernels.
+BWD_FUSED = _os.environ.get("INTENTBEV_BWD_FUSED", "1") == "1"
 # Online-softmax chunked forward (``_fwd_kernel_chunked``): KV tile size,
 # 0 = monolithic kernel. Env-tunable for on-chip experiments.
 FWD_KV_CHUNK = int(_os.environ.get("INTENTBEV_FWD_KV_CHUNK", "0"))
@@ -378,6 +398,214 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref,
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_dq_kernel_chunked(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref,
+                           bias_ref, dq_ref, s0, s1, t_buf, acc_buf,
+                           *, heads_in_block: int, scale: float, chunk: int):
+    """dq with the key axis streamed in ``chunk`` tiles (see BWD_KV_CHUNK).
+
+    Exact vs ``_bwd_dq_kernel`` up to f32 partial-sum order: p is
+    reconstructed as exp(s - lse) (no running max anywhere in the
+    backward), so per-tile accumulation needs no rescale. The score matmul
+    of tile j+1 is issued before tile j's exp (double-buffered scratch),
+    and tile j's do.V^T matmul is independent of its exp — both give the
+    scheduler MXU work to overlap the VPU exp/mult chain.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    bias = bias_ref[0]
+    dh = q.shape[-1] // heads_in_block
+    t_pad = k.shape[0]
+    n_chunks = t_pad // chunk
+    for h in range(heads_in_block):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q[:, sl] * jnp.asarray(scale, q.dtype)
+        lse = l_ref[0, h]          # [bq, 1]
+        dlt = delta_ref[0, h]      # [bq, 1]
+        acc_buf[:] = jnp.zeros_like(acc_buf[:])
+
+        def _score(j, buf):
+            ks = slice(j * chunk, (j + 1) * chunk)
+            buf[:] = jax.lax.dot_general(
+                qh, k[ks, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias[ks]
+
+        bufs = [s0, s1]
+        _score(0, bufs[0])
+        for j in range(n_chunks):
+            cur, nxt = bufs[j % 2], bufs[(j + 1) % 2]
+            if j + 1 < n_chunks:
+                _score(j + 1, nxt)
+            ks = slice(j * chunk, (j + 1) * chunk)
+            t_buf[:] = jax.lax.dot_general(
+                do[:, sl], v[ks, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            u = jnp.exp(cur[:] - lse) * (t_buf[:] - dlt)
+            acc_buf[:] = acc_buf[:] + jax.lax.dot_general(
+                u.astype(k.dtype), k[ks, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dq_ref[0, :, sl] = (acc_buf[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_chunked(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref,
+                            dk_ref, dv_ref, s0, s1, t_buf, dk_acc, dv_acc,
+                            *, heads_in_block: int, scale: float, chunk: int):
+    """dk/dv with the QUERY axis streamed in ``chunk`` tiles.
+
+    Same masking semantics as ``_bwd_dkv_kernel`` (padded query rows carry
+    dO = 0 so they contribute nothing; padded KEY rows are zeroed after
+    the pallas_call in ``_bwd``).
+    """
+    q = q_ref[0]          # [T_pad, lane] full query panel
+    k = k_ref[0]          # [BK, lane]
+    v = v_ref[0]
+    do = do_ref[0]        # [T_pad, lane]
+    dh = q.shape[-1] // heads_in_block
+    t_pad = q.shape[0]
+    n_chunks = t_pad // chunk
+    for h in range(heads_in_block):
+        sl = slice(h * dh, (h + 1) * dh)
+        kh = k[:, sl] * jnp.asarray(scale, k.dtype)
+        lse = l_ref[0, h][:, 0]       # [t_pad]
+        dlt = delta_ref[0, h][:, 0]   # [t_pad]
+        dk_acc[:] = jnp.zeros_like(dk_acc[:])
+        dv_acc[:] = jnp.zeros_like(dv_acc[:])
+
+        def _score(j, buf):
+            qs = slice(j * chunk, (j + 1) * chunk)
+            buf[:] = jax.lax.dot_general(
+                kh, q[qs, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - lse[qs][None, :]
+
+        bufs = [s0, s1]
+        _score(0, bufs[0])
+        for j in range(n_chunks):
+            cur, nxt = bufs[j % 2], bufs[(j + 1) % 2]
+            if j + 1 < n_chunks:
+                _score(j + 1, nxt)
+            qs = slice(j * chunk, (j + 1) * chunk)
+            p = jnp.exp(cur[:])
+            dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+                p.astype(do.dtype), do[qs, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            t_buf[:] = jax.lax.dot_general(
+                v[:, sl], do[qs, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            u = p * (t_buf[:] - dlt[qs][None, :])
+            dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+                u.astype(q.dtype), q[qs, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dk_ref[0, :, sl] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, bias_ref,
+                      dq_ref, dk_ref, dv_ref, p_buf, t_buf,
+                      *, heads_in_block: int, scale: float):
+    """One-pass backward: dq for this row block + dk/dv accumulation.
+
+    Grid (batch, head-pair, row-block) with the row-block axis SEQUENTIAL:
+    dk/dv output blocks have a constant index map along it, so they stay
+    resident in VMEM and accumulate across row blocks (zeroed at j == 0),
+    exactly like the dW accumulators in ops/fused_ln_mlp._bwd_kernel.
+    p and t are computed once and feed all three gradients; the dv/dk
+    matmuls contract over the row block (the MXU-friendly >= 256 axis)
+    instead of head_dim.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    bias = bias_ref[0]
+    dh = q.shape[-1] // heads_in_block
+    for h in range(heads_in_block):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q[:, sl] * jnp.asarray(scale, q.dtype)
+        p_buf[:] = jax.lax.dot_general(
+            qh, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        p_buf[:] = jnp.exp(p_buf[:] - l_ref[0, h])
+        t_buf[:] = jax.lax.dot_general(
+            do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t_buf[:] = p_buf[:] * (t_buf[:] - delta_ref[0, h])
+        dq = jax.lax.dot_general(
+            t_buf[:].astype(k.dtype), k[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            p_buf[:].astype(do.dtype), do[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # ds/dk = scale * q: qh already carries the scale factor.
+        dk_ref[0, :, sl] += jax.lax.dot_general(
+            t_buf[:].astype(q.dtype), qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _bwd_fused(num_heads: int, scale: float, seq_len: int, res, g,
+               lane_block: int, delta, bias):
+    q3, k3, v3, o3, lse = res
+    do3 = g[0] if isinstance(g, tuple) else g
+    b, t_pad, dm = q3.shape
+    dh = dm // num_heads
+    hp = _heads_per_block(dh, lane_block)
+    n_pairs = num_heads // hp
+    bq = BLOCK_BWD_PK
+    nq = t_pad // bq
+    dq, dk32, dv32 = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, heads_in_block=hp, scale=scale),
+        grid=(b, n_pairs, nq),
+        compiler_params=sequential_params(),
+        in_specs=[
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, bq, 1), lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, bq, 1), lambda i, p, j: (i, p, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, dm), q3.dtype),
+            jax.ShapeDtypeStruct((b, t_pad, dm), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, dm), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+        ],
+    )(q3, k3, v3, do3, lse, delta, bias)
+    return dq, dk32.astype(k3.dtype), dv32.astype(v3.dtype)
+
+
 def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
     q3, k3, v3, o3, lse = res
     do3 = g[0] if isinstance(g, tuple) else g
@@ -402,10 +630,35 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
     )[..., None]
     bias = _key_bias(t_pad, seq_len)
 
+    if BWD_FUSED:
+        dq, dk, dv = _bwd_fused(num_heads, scale, seq_len, res, g,
+                                lane_block, delta, bias)
+        if seq_len < t_pad:
+            dk = dk.at[:, seq_len:].set(0)
+            dv = dv.at[:, seq_len:].set(0)
+        return dq, dk, dv
+
     bq = BLOCK_BWD_PK
     nq = t_pad // bq
+    ck = BWD_KV_CHUNK if (BWD_KV_CHUNK and t_pad % BWD_KV_CHUNK == 0) else 0
+    if ck:
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel_chunked, heads_in_block=hp, scale=scale, chunk=ck)
+        dq_scratch = [
+            pltpu.VMEM((bq, ck), jnp.float32),
+            pltpu.VMEM((bq, ck), jnp.float32),
+            pltpu.VMEM((bq, ck), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
+        ]
+    else:
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel, heads_in_block=hp, scale=scale)
+        dq_scratch = [
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+        ]
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, heads_in_block=hp, scale=scale),
+        dq_kernel,
         grid=(b, n_pairs, nq),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
@@ -420,15 +673,29 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
         out_specs=pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, dm), q3.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, t_pad), jnp.float32),
-            pltpu.VMEM((bq, t_pad), jnp.float32),
-        ],
+        scratch_shapes=dq_scratch,
     )(q3, k3, v3, do3, lse, delta, bias)
 
     nk = t_pad // bq
+    if ck:
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel_chunked, heads_in_block=hp, scale=scale, chunk=ck)
+        dkv_scratch = [
+            pltpu.VMEM((bq, ck), jnp.float32),
+            pltpu.VMEM((bq, ck), jnp.float32),
+            pltpu.VMEM((bq, ck), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
+        ]
+    else:
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel, heads_in_block=hp, scale=scale)
+        dkv_scratch = [
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+            pltpu.VMEM((bq, t_pad), jnp.float32),
+        ]
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, heads_in_block=hp, scale=scale),
+        dkv_kernel,
         grid=(b, n_pairs, nk),
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
@@ -447,10 +714,7 @@ def _bwd(num_heads: int, scale: float, seq_len: int, res, g):
             jax.ShapeDtypeStruct((b, t_pad, dm), k3.dtype),
             jax.ShapeDtypeStruct((b, t_pad, dm), v3.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((bq, t_pad), jnp.float32),
-            pltpu.VMEM((bq, t_pad), jnp.float32),
-        ],
+        scratch_shapes=dkv_scratch,
     )(q3, k3, v3, do3, lse, delta)
     if seq_len < t_pad:
         # Padded KEY rows were masked (-inf) in the forward: their true

@@ -273,12 +273,16 @@ def stack_voxel_chunks(samples: list[VoxelChunks]) -> VoxelChunks:
     )
 
 
-def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
-            o_ref, scratch_ref, *, patch, gw, rows_pp, window, cap,
-            strategy):
+def _place_band(count_ref, wid_ref, sl_ref, ch_ref, val_ref, scratch_ref,
+                *, window, cap, strategy, cdt):
+    """Zero the band scratch and place this (batch, band)'s chunks into it.
+
+    Shared placement phase of ``_kernel`` (voxelize+patch-embed) and
+    ``_fill_kernel`` (voxelize to dense BEV, CNN path) — identical
+    instruction stream, so the tuned one-hot MXU placement and the unroll
+    sweep apply to both.
+    """
     c = scratch_ref.shape[-1]
-    d = w_ref.shape[-1]
-    cdt = w_ref.dtype
     # SMEM blocks must span the full trailing dims (count is whole-array:
     # its [B, NB] shape has no 8/128-compatible blocking), so batch/band
     # are selected here rather than by the index map
@@ -337,6 +341,15 @@ def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
             return carry
 
         jax.lax.fori_loop(0, count_ref[batch, band], body, 0)
+
+
+def _kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref, w_ref, b_ref,
+            o_ref, scratch_ref, *, patch, gw, rows_pp, window, cap,
+            strategy):
+    d = w_ref.shape[-1]
+    c = scratch_ref.shape[-1]
+    _place_band(count_ref, wid_ref, sl_ref, ch_ref, val_ref, scratch_ref,
+                window=window, cap=cap, strategy=strategy, cdt=w_ref.dtype)
 
     # --- patch-embed matmul phase (ops/patch_embed.py semantics) ---
     m = rows_pp * gw
@@ -418,3 +431,76 @@ def voxel_embed_tokens(
         kernel, bias.reshape(1, d),
     )
     return out.reshape(b, (h // patch) * gw, d)
+
+
+def _fill_kernel(count_ref, wid_ref, sl_ref, ch_ref, val_ref,
+                 o_ref, scratch_ref, *, window, cap, strategy, rows_band,
+                 grid_w):
+    c = scratch_ref.shape[-1]
+    _place_band(count_ref, wid_ref, sl_ref, ch_ref, val_ref, scratch_ref,
+                window=window, cap=cap, strategy=strategy, cdt=o_ref.dtype)
+    # windows are 64 consecutive row-major pixels, so the band scratch
+    # [nw, window, c] IS the band image [rows_band, grid_w, c]
+    o_ref[0] = scratch_ref[...].reshape(rows_band, grid_w, c).astype(o_ref.dtype)
+
+
+def voxel_fill_bev(
+    chunks: VoxelChunks,
+    grid_hw: tuple[int, int],
+    channels: int,
+    patch: int,
+    dtype=jnp.bfloat16,
+    *,
+    window: int = WINDOW,
+) -> jnp.ndarray:
+    """Placement chunks -> dense BEV [B, H, W, C] (the CNN-family input).
+
+    The CNN path's equivalent of ``voxel_embed_tokens``: same host chunk
+    transport, same one-hot MXU placement per VMEM band — but the band is
+    written out as image rows instead of being contracted with the
+    patch-embed kernel. Replaces the XLA scatter-max + layout copy
+    (docs/PERF.md: ~27 ms/step on the CNN serving profile) with one linear
+    writer. ``patch`` must match the value the chunks were built with
+    (the band height is derived from it), so one host transport serves
+    both model families. Exact vs ``voxelize_packed`` up to the output
+    dtype cast (per-cell max is computed on the host in f32).
+    """
+    h, w = grid_hw
+    b, nb, nc = chunks.wid.shape
+    cap = chunks.sl.shape[-1]
+    rows_band = rows_per_program(h, patch) * patch
+    assert nb == h // rows_band, (nb, h, rows_band)
+    nw = rows_band * w // window
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fill_kernel, window=window, cap=cap, strategy=_STRATEGY,
+            rows_band=rows_band, grid_w=w,
+        ),
+        grid=(b, nb),
+        compiler_params=_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec((b, nb), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb, nc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nc, 1, cap), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nc, 1, cap), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nc, 1, cap), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_band, w, channels),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, channels), dtype),
+        scratch_shapes=[pltpu.VMEM((nw, window, channels), dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nb * nc * window * cap * channels,
+            bytes_accessed=(chunks.sl.size * 3 * 4
+                            + b * h * w * channels * 2),
+            transcendentals=0,
+        ),
+    )(chunks.count, chunks.wid, chunks.sl, chunks.ch, chunks.val)
+    return out

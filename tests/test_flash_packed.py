@@ -271,3 +271,105 @@ class TestChunkedVariants:
             fp.FWD_PIPELINE, fp.FWD_EXP2 = old
         want = np.asarray(_packed_via_reference(q, k, v, h))
         np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+class TestChunkedBackward:
+    """BWD_KV_CHUNK tiled dq/dkv kernels vs the dense oracle (exact path:
+    the backward has no softmax-safety tradeoff — tiling only reorders f32
+    partial sums)."""
+
+    @pytest.mark.parametrize("t,chunk", [(256, 128), (768, 256)])
+    def test_grads_match_reference(self, rng, t, chunk):
+        import intentbev.ops.flash_packed as fp
+        b, h, dh = 1, 2, 64
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        old = fp.BWD_KV_CHUNK
+        fp.BWD_KV_CHUNK = chunk
+        try:
+            def loss(q, k, v):
+                with pltpu.force_tpu_interpret_mode():
+                    return jnp.sum(jnp.sin(fp.flash_attention_packed(q, k, v, h)))
+            with pltpu.force_tpu_interpret_mode():
+                gp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fp.BWD_KV_CHUNK = old
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(_packed_via_reference(q, k, v, h)))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        names = ["dq", "dk", "dv"]
+        for name, a, b_ in zip(names, gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, err_msg=name)
+
+    def test_grads_prepadded_masked_keys_zero(self, rng):
+        """seq_len < T: padded KEY rows still get exactly-zero dk/dv, and
+        real rows match, with the chunked kernels active."""
+        import intentbev.ops.flash_packed as fp
+        b, h, dh, t, real = 1, 2, 64, 768, 700
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        old = fp.BWD_KV_CHUNK
+        fp.BWD_KV_CHUNK = 256
+        try:
+            def loss(q, k, v):
+                with pltpu.force_tpu_interpret_mode():
+                    return jnp.sum(jnp.sin(
+                        fp.flash_attention_packed(q, k, v, h, seq_len=real)))
+            with pltpu.force_tpu_interpret_mode():
+                gp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fp.BWD_KV_CHUNK = old
+
+        def loss_ref(q, k, v):
+            def to_bhtd(x):
+                return jnp.transpose(x.reshape(b, t, h, dh), (0, 2, 1, 3))
+            o = reference_attention(to_bhtd(q), to_bhtd(k), to_bhtd(v), kv_len=real)
+            return jnp.sum(jnp.sin(jnp.transpose(o, (0, 2, 1, 3)).reshape(b, t, dm)))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip(["dq", "dk", "dv"], gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, err_msg=name)
+        assert np.all(np.asarray(gp[1])[:, real:] == 0.0)
+        assert np.all(np.asarray(gp[2])[:, real:] == 0.0)
+
+
+class TestFusedBackward:
+    """One-pass fused dq/dk/dv kernel (BWD_FUSED) vs the split kernels."""
+
+    def test_fused_matches_split(self, rng):
+        import intentbev.ops.flash_packed as fp
+        b, h, dh, t, real = 1, 2, 64, 768, 700
+        dm = h * dh
+        q = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, t, dm)).astype(np.float32))
+
+        def loss(q, k, v):
+            with pltpu.force_tpu_interpret_mode():
+                return jnp.sum(jnp.sin(
+                    fp.flash_attention_packed(q, k, v, h, seq_len=real)))
+
+        old = fp.BWD_FUSED
+        try:
+            fp.BWD_FUSED = True
+            with pltpu.force_tpu_interpret_mode():
+                gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            fp.BWD_FUSED = False
+            with pltpu.force_tpu_interpret_mode():
+                gs = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fp.BWD_FUSED = old
+        for name, a, b_ in zip(["dq", "dk", "dv"], gf, gs):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-5, err_msg=name)
+        # padded keys exactly zero through the fused path too
+        assert np.all(np.asarray(gf[1])[:, real:] == 0.0)
+        assert np.all(np.asarray(gf[2])[:, real:] == 0.0)

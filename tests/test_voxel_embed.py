@@ -220,3 +220,34 @@ class TestNativeBuilder:
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
         # the concentrated band really needed more than the initial guess
         assert int(np.max(a.count)) * 8 > int(np.count_nonzero(valid)) // 48
+
+
+class TestVoxelFillBev:
+    """Dense-BEV fill (CNN path) vs voxelize_packed, same chunk transport."""
+
+    @pytest.mark.parametrize("strategy", ["reshape", "dot_t"])
+    def test_parity_vs_voxelize(self, rng, strategy, monkeypatch):
+        monkeypatch.setattr(ve, "_STRATEGY", strategy)
+        pts, valid = _random_points(rng)
+        chunks, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+        chunks = jax.tree_util.tree_map(jnp.asarray, chunks)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ve.voxel_fill_bev(
+                chunks, (GRID.height_px, GRID.width_px),
+                GRID.lidar_total_channels, PATCH, dtype=jnp.float32))
+        want = np.asarray(
+            voxelize_packed(jnp.asarray(pts), jnp.asarray(valid), GRID))
+        np.testing.assert_allclose(got[0], want, atol=1e-6)
+
+    def test_empty_points(self, rng):
+        pts = np.zeros((2, 16, 4), np.float32)
+        valid = np.zeros((2, 16), bool)
+        chunks, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+        chunks = jax.tree_util.tree_map(jnp.asarray, chunks)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ve.voxel_fill_bev(
+                chunks, (GRID.height_px, GRID.width_px),
+                GRID.lidar_total_channels, PATCH, dtype=jnp.float32))
+        assert got.shape == (1, GRID.height_px, GRID.width_px,
+                             GRID.lidar_total_channels)
+        assert np.all(got == 0.0)

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--points_per_sweep", type=int, default=16384)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--model", default="vit", choices=["vit", "cnn"])
+    p.add_argument("--trace", action="store_true",
+                   help="profile the timed steps and print top op groups")
+    p.add_argument("--top", type=int, default=18)
     args = p.parse_args()
 
     import dataclasses
@@ -89,6 +92,20 @@ def main():
     dt = (time.perf_counter() - t0) / args.steps
     print(f"train step: {dt * 1000:.1f} ms/batch-{B} "
           f"({B / dt:.1f} samples/s), loss={float(m['loss']):.4f}")
+
+    if args.trace:
+        import sys
+        import tempfile
+
+        sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        from profile_step import parse
+
+        trace_dir = tempfile.mkdtemp(prefix="ibtrain_")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(args.steps):
+                state, m = step(state, batch, rng)
+            jax.block_until_ready(m)
+        parse(trace_dir, args.steps, args.top)
 
 
 if __name__ == "__main__":

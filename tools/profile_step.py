@@ -43,6 +43,70 @@ def run_and_trace(args) -> str:
         model = IntentNetCNN(cfg.cnn, cfg.heads, dtype=jnp.bfloat16)
     else:
         model = IntentNetViT(cfg.vit, cfg.heads, dtype=jnp.bfloat16)
+
+    if args.model == "cnn" and args.voxembed:
+        # CNN chunk-transport path: voxel_fill_bev -> CNN forward -> NMS
+        import numpy as np  # noqa: F811
+
+        from intentbev.boxes.anchors import generate_anchors
+        from intentbev.boxes.nms import batched_postprocess
+        from intentbev.ops.voxel_embed import (
+            build_voxel_chunks, stack_voxel_chunks, voxel_fill_bev)
+
+        B = args.batch
+        r = np.random.default_rng(0)
+        s = g.lidar_sweeps
+        pts = np.zeros((B, s, 16384, 4), np.float32)
+        pts[..., 0] = r.uniform(-20, 60, pts.shape[:3])
+        pts[..., 1] = r.uniform(-70, 70, pts.shape[:3])
+        pts[..., 2] = r.uniform(-2, 3.7, pts.shape[:3])
+        pts[..., 3] = r.uniform(0, 255, pts.shape[:3])
+        ones = np.ones((s, 16384), bool)
+        chunks = stack_voxel_chunks(
+            [build_voxel_chunks(pts[b], ones, g, 8)[0] for b in range(B)])
+        chunks = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a)), chunks)
+        mp = jnp.asarray(
+            (r.uniform(0, 1, (B, g.height_px, g.width_px, g.map_channels))
+             < 0.05).astype(np.float32), jnp.bfloat16)
+        variables = jax.jit(model.init)(
+            jax.random.key(0),
+            jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels)),
+            jnp.zeros((1, g.height_px, g.width_px, g.map_channels)))
+        anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
+        ev = cfg.eval
+
+        @jax.jit
+        def step(variables, chunks, mp):
+            lidar = voxel_fill_bev(
+                chunks, (g.height_px, g.width_px), g.lidar_total_channels,
+                8, dtype=jnp.bfloat16)
+            cls_l, box_d, int_l = model.apply(variables, lidar, mp)
+            det = batched_postprocess(
+                cls_l, box_d, int_l, anchors,
+                confidence_threshold=ev.confidence_threshold,
+                nms_iou_threshold=ev.nms_iou_threshold,
+                max_pre_nms=ev.max_pre_nms, max_detections=ev.max_detections)
+            chained = chunks._replace(val=chunks.val + (
+                0.0 * jnp.sum(det.scores)).astype(chunks.val.dtype))
+            return det, chained
+
+        det, chunks = step(variables, chunks, mp)
+        jax.block_until_ready(det)
+        import time
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            det, chunks = step(variables, chunks, mp)
+        jax.block_until_ready(det)
+        dt = (time.perf_counter() - t0) / args.steps
+        print(f"timed (untraced): {dt * 1000:.1f} ms/step, "
+              f"{B / dt:.1f} frames/s")
+        trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="ibprof_")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(args.steps):
+                det, chunks = step(variables, chunks, mp)
+            jax.block_until_ready(det)
+        return trace_dir
     B = args.batch
     r = np.random.default_rng(0)
     lidar = jnp.asarray(
