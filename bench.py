@@ -89,10 +89,11 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
         # voxel_fill_bev, a linear VMEM-band writer that replaces the XLA
         # scatter-max + layout copy (~27 ms of the dense CNN profile).
         if model_name == "cnn":
-            from intentbev.ops.voxel_embed import voxel_fill_bev
+            from intentbev.ops.voxel_embed import (CNN_CHUNK_PATCH,
+                                                    voxel_fill_bev)
             lidar = voxel_fill_bev(
                 chunks, (g.height_px, g.width_px), g.lidar_total_channels,
-                8, dtype=jnp.bfloat16)
+                CNN_CHUNK_PATCH, dtype=jnp.bfloat16)
             cls_l, box_d, int_l = model.apply(variables, lidar, map_bev)
         else:
             cls_l, box_d, int_l = model.apply(variables, chunks, map_bev)
@@ -147,7 +148,9 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
 
     if voxembed:
         ones = np.ones((s, points_per_sweep), bool)
-        patch = cfg.vit.patch_size if model_name == "vit" else 8
+        from intentbev.ops.voxel_embed import CNN_CHUNK_PATCH
+        patch = (cfg.vit.patch_size if model_name == "vit"
+                 else CNN_CHUNK_PATCH)
         chunks = stack_voxel_chunks([
             build_voxel_chunks(pts[b], ones, g, patch)[0]
             for b in range(batch_size)

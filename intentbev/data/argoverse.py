@@ -62,29 +62,32 @@ class _PinnedArrowThread:
 _PINNED = _PinnedArrowThread()
 
 
+def _ipc_read_table(path, columns=None):
+    """Feather V2 file -> pyarrow.Table via the Arrow IPC reader (the
+    non-deprecated pyarrow API, utils/featherio.py). Must run on the pinned
+    arrow thread."""
+    from ..utils.featherio import read_ipc_table
+
+    return read_ipc_table(path, columns)
+
+
 def read_feather_locked(path, columns=None):
     """Feather -> pandas DataFrame, decoded entirely on the pinned thread.
 
     Only use the result on the calling thread if no arrow-backed column is
     touched afterwards (prefer :func:`read_sweep_arrays` /
     :func:`read_log_tables` which return plain numpy)."""
-    from pyarrow import feather
-
     return _PINNED.run(
-        lambda: feather.read_feather(str(path), columns=columns,
-                                     use_threads=False)
+        lambda: _ipc_read_table(path, columns).to_pandas(use_threads=False)
     )
 
 
 def read_sweep_arrays(path):
     """One LiDAR sweep -> (xyz f64[K, 3], intensity f32[K]) pure numpy;
     all arrow work happens on the pinned thread."""
-    from pyarrow import feather
 
     def _do():
-        t = feather.read_table(
-            str(path), columns=["x", "y", "z", "intensity"]
-        )
+        t = _ipc_read_table(path, columns=["x", "y", "z", "intensity"])
         cols = [
             t.column(c).to_numpy(zero_copy_only=False)
             for c in ("x", "y", "z", "intensity")
@@ -382,15 +385,12 @@ class ArgoverseSampleLoader:
                 # arrays and plain-python pose rows cross back (libarrow
                 # is not thread-safe here — see _PinnedArrowThread)
                 def _tables():
-                    from pyarrow import feather
-
-                    gt_df = feather.read_feather(
-                        str(gt_path), use_threads=False
+                    gt_df = _ipc_read_table(gt_path).to_pandas(
+                        use_threads=False
                     )
-                    poses_df = feather.read_feather(
-                        str(log_dir / "city_SE3_egovehicle.feather"),
-                        use_threads=False,
-                    )
+                    poses_df = _ipc_read_table(
+                        log_dir / "city_SE3_egovehicle.feather"
+                    ).to_pandas(use_threads=False)
                     return gt_numpy_table(gt_df), {
                         int(r.timestamp_ns): r
                         for r in poses_df.itertuples(index=False)

@@ -165,6 +165,8 @@ def write_synthetic_log(
     """
     import pandas as pd
 
+    from ..utils.featherio import write_ipc_dataframe
+
     rng = np.random.default_rng(seed)
     log_id = log_id or uuid.uuid4().hex[:16]
     log_dir = Path(root) / log_id
@@ -184,7 +186,8 @@ def write_synthetic_log(
         ego_xs = np.asarray(ego_xs, dtype=np.float64)
         assert len(ego_xs) == num_frames
     poses = [_pose_row(ts, ego_xs[i], 0.0, 0.0) for i, ts in enumerate(timestamps)]
-    pd.DataFrame(poses).to_feather(log_dir / "city_SE3_egovehicle.feather")
+    write_ipc_dataframe(pd.DataFrame(poses),
+                        log_dir / "city_SE3_egovehicle.feather")
 
     # --- vehicles
     if vehicles is None:
@@ -233,7 +236,7 @@ def write_synthetic_log(
                 "tz_m": 0.5,
                 "num_interior_pts": 50,
             })
-    pd.DataFrame(ann_rows).to_feather(log_dir / "annotations.feather")
+    write_ipc_dataframe(pd.DataFrame(ann_rows), log_dir / "annotations.feather")
 
     # --- lidar sweeps: ground plane + boxes around each vehicle (world frame
     # shifted into per-sweep ego frame; reference transforms sweeps between
@@ -269,7 +272,7 @@ def write_synthetic_log(
             "laser_number": np.zeros(len(pts), dtype=np.uint8),
             "offset_ns": np.zeros(len(pts), dtype=np.int32),
         })
-        df.to_feather(lidar_dir / f"{ts}.feather")
+        write_ipc_dataframe(df, lidar_dir / f"{ts}.feather")
 
     # --- map: one straight lane along world x + a crosswalk (default),
     # or the caller-provided map_data

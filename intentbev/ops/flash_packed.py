@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mosaic import kernel_params, sequential_params
+from .mosaic import kernel_params, revisit_params
 
 # VMEM limit + optional megacore dimension_semantics (see ops/mosaic.py);
 # every grid here is (batch, head-group, row/key-block) — fully parallel.
@@ -66,6 +66,10 @@ BWD_LANE_BLOCK = int(_os.environ.get("INTENTBEV_BWD_LANE_BLOCK", "128"))
 # exp(s - lse) with no running max, so tiling is pure accumulation (f32
 # partial-sum order is the only difference vs the monolithic kernels).
 # 0 = monolithic (default until measured on-chip).
+# PRECEDENCE: only consulted on the SPLIT backward path — BWD_FUSED
+# (default 1) takes the fused kernel early-return, so sweeping
+# INTENTBEV_BWD_KV_CHUNK requires INTENTBEV_BWD_FUSED=0 (a warning is
+# emitted otherwise).
 BWD_KV_CHUNK = int(_os.environ.get("INTENTBEV_BWD_KV_CHUNK", "0"))
 # Fused one-pass backward (``_bwd_fused_kernel``): ONE kernel computes
 # dq, dk, dv per row-block, accumulating dk/dv into constant-index-map
@@ -78,6 +82,15 @@ BWD_KV_CHUNK = int(_os.environ.get("INTENTBEV_BWD_KV_CHUNK", "0"))
 # MXU-friendly axis. 1 = fused (measured faster on v5e, see
 # docs/PERF.md "Training step"); 0 = split dq/dkv kernels.
 BWD_FUSED = _os.environ.get("INTENTBEV_BWD_FUSED", "1") == "1"
+if BWD_FUSED and BWD_KV_CHUNK:
+    import warnings as _warnings
+
+    _warnings.warn(
+        "INTENTBEV_BWD_KV_CHUNK is set but INTENTBEV_BWD_FUSED=1 (the "
+        "default) takes precedence: the chunked split backward will not "
+        "run. Set INTENTBEV_BWD_FUSED=0 to sweep the chunked kernels.",
+        stacklevel=1,
+    )
 # Online-softmax chunked forward (``_fwd_kernel_chunked``): KV tile size,
 # 0 = monolithic kernel. Env-tunable for on-chip experiments.
 FWD_KV_CHUNK = int(_os.environ.get("INTENTBEV_FWD_KV_CHUNK", "0"))
@@ -575,7 +588,10 @@ def _bwd_fused(num_heads: int, scale: float, seq_len: int, res, g,
     dq, dk32, dv32 = pl.pallas_call(
         functools.partial(_bwd_fused_kernel, heads_in_block=hp, scale=scale),
         grid=(b, n_pairs, nq),
-        compiler_params=sequential_params(),
+        # dk/dv accumulate across the row-block axis (j) ONLY; batch and
+        # head-pair axes index disjoint accumulator blocks, so they stay
+        # megacore-parallel (ADVICE r4)
+        compiler_params=revisit_params(2, 1),
         in_specs=[
             pl.BlockSpec((1, bq, lane_block), lambda i, p, j: (i, j, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, lane_block), lambda i, p, j: (i, 0, p), memory_space=pltpu.VMEM),

@@ -48,3 +48,20 @@ def sequential_params() -> pltpu.CompilerParams:
     MLP-family backward kernels): splitting such a grid across cores would
     skip the program_id==0 init on one core and race the accumulator."""
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def revisit_params(parallel_axes: int, sequential_axes: int) -> pltpu.CompilerParams:
+    """CompilerParams for grids whose trailing ``sequential_axes`` dimensions
+    accumulate into constant-index-map output blocks (must stay sequential,
+    "arbitrary") while the leading ``parallel_axes`` dimensions each write
+    disjoint output blocks and may split across megacore cores — e.g. the
+    fused attention backward: dk/dv revisit across the row-block axis only;
+    batch and head-pair axes index distinct accumulator blocks."""
+    if MEGACORE:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=(
+                ("parallel",) * parallel_axes + ("arbitrary",) * sequential_axes
+            ),
+        )
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)

@@ -57,6 +57,13 @@ _COMPILER_PARAMS = kernel_params(2)
 WINDOW = 64  # pixels per placement window (rows of one E @ X update)
 CAP = 64     # max cells per chunk (contraction depth of one placement)
 
+# Band geometry the CNN chunk path builds/consumes with (the CNN family has
+# no patch size of its own; the transport just needs ONE agreed value so
+# build_voxel_chunks and voxel_fill_bev band identically). All CNN-path
+# call sites (bench.py, tools/profile_step.py) use this constant — a
+# mismatch would only surface as the runtime band-count assert below.
+CNN_CHUNK_PATCH = 8
+
 # 'dot_t':   keep everything lane-major and contract both operands on
 #            their lane dims (rhs-transposed dot) — Mosaic lowers it
 #            natively and it beats 'reshape' on v5e (69.2 vs 67.5 fps e2e).
@@ -471,6 +478,17 @@ def voxel_fill_bev(
     rows_band = rows_per_program(h, patch) * patch
     assert nb == h // rows_band, (nb, h, rows_band)
     nw = rows_band * w // window
+    # channels must cover the builder's channel count: a too-small value
+    # makes out-of-range ch indices fail the one-hot compare and silently
+    # drop those cells. Checked when the chunk arrays are concrete (host
+    # build -> direct call); traced calls inside jit skip the check.
+    if not isinstance(chunks.ch, jax.core.Tracer) and chunks.ch.size:
+        ch_max = int(np.max(np.asarray(chunks.ch)))
+        assert ch_max < channels, (
+            f"chunks carry channel index {ch_max} but voxel_fill_bev was "
+            f"called with channels={channels}; cells would be silently "
+            "dropped"
+        )
 
     out = pl.pallas_call(
         functools.partial(

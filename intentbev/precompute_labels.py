@@ -34,14 +34,14 @@ def preprocess_scenario(
     use_map: bool = True,
 ) -> str:
     """Label one log. Returns 'skipped' | 'ok' | 'failed'."""
-    import pandas as pd
+    from .utils.featherio import read_ipc_dataframe, write_ipc_dataframe
 
     log_dir = Path(info.log_dir)
     out_path = log_dir / "annotations_with_intent.feather"
     if out_path.is_file() and not force:
         return "skipped"
     try:
-        df = pd.read_feather(info.annotations_path)
+        df = read_ipc_dataframe(info.annotations_path)
         map_ctx = None
         if use_map:
             try:
@@ -50,7 +50,7 @@ def preprocess_scenario(
                 print(f"  map parse failed for {log_dir.name}: {e}; "
                       "labeling without map context")
         labelled = label_log_annotations(df, cfg, map_ctx)
-        labelled.to_feather(out_path)
+        write_ipc_dataframe(labelled, out_path)
         return "ok"
     except Exception as e:  # noqa: BLE001
         print(f"  FAILED {log_dir.name}: {e}")

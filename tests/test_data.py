@@ -2,6 +2,8 @@
 heuristic labeling per intent class, precompute CLI."""
 
 import numpy as np
+
+from intentbev.utils.featherio import read_ipc_dataframe
 import pytest
 
 from intentbev.configs import GridConfig, HeuristicConfig, INTENTIONS_MAP
@@ -140,7 +142,7 @@ class TestLoaderAndPrecompute:
         totals = precompute_run(str(split_dir.parent), [split_dir.name], force=True)
         assert totals["ok"] == 2 and totals["failed"] == 0
         import pandas as pd
-        df = pd.read_feather(split_dir / "synthlog0001" / "annotations_with_intent.feather")
+        df = read_ipc_dataframe(split_dir / "synthlog0001" / "annotations_with_intent.feather")
         assert "heuristic_intent" in df.columns
         assert (df["heuristic_intent"] >= -1).all()
         # vehicle rows got labels
@@ -354,6 +356,6 @@ class TestScriptedSceneCues:
         log_dir = write_synthetic_log(
             tmp_path, log_id="tracklog", num_frames=n, seed=0,
             vehicles=[{"track": track}], ego_xs=np.zeros(n))
-        df = pd.read_feather(log_dir / "annotations.feather")
+        df = read_ipc_dataframe(log_dir / "annotations.feather")
         assert np.allclose(df.tx_m.to_numpy(), track[:, 0])
         assert np.allclose(df.ty_m.to_numpy(), track[:, 1])

@@ -23,11 +23,18 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ref_modules import load_ref
+from vit_twin import TwinViT, build_twin_intentnet_vit
 
-from intentbev.configs import CNNBackboneConfig, HeadConfig
+from intentbev.configs import (
+    CNNBackboneConfig,
+    HeadConfig,
+    ViTBackboneConfig,
+)
 from intentbev.import_torch import (
     import_cnn_state_dict,
+    import_vit_encoder,
     import_vit_nontimm,
+    import_vit_state_dict,
 )
 
 
@@ -303,6 +310,175 @@ class TestMergeIntoViT:
         assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
 
+TWIN_DIMS = dict(
+    img_size=(32, 48), patch=8, embed_dim=32, depth=2, num_heads=2,
+    mlp_ratio=4.0)
+
+
+def _twin_vit_cfg(lidar_ch=12, map_ch=9, adapter_out=16, fusion=32):
+    d = TWIN_DIMS
+    return ViTBackboneConfig(
+        lidar_input_channels=lidar_ch,
+        map_input_channels=map_ch,
+        img_size=d["img_size"],
+        patch_size=d["patch"],
+        embed_dim=d["embed_dim"],
+        depth=d["depth"],
+        num_heads=d["num_heads"],
+        mlp_ratio=d["mlp_ratio"],
+        adapter_out_channels=adapter_out,
+        fusion_planes=fusion,
+        fusion_layers=2,
+        use_flash_attention=False,  # CPU test backend
+    )
+
+
+class TestViTEncoderImport:
+    """timm-schema ViT interior -> intentbev ViTEncoder (the round-5 gap:
+    the reference's FLAGSHIP trained artifact is the timm ViT,
+    model_vit.py:62-74)."""
+
+    def test_encoder_forward_parity(self, rng):
+        from intentbev.models.vit import ViTEncoder
+
+        d = TWIN_DIMS
+        in_ch = 12
+        torch.manual_seed(31)
+        twin = TwinViT(d["img_size"], d["patch"], in_ch, d["embed_dim"],
+                       d["depth"], d["num_heads"], d["mlp_ratio"])
+        _randomize_torch_model(twin, 32)
+        twin.eval()
+
+        # prefix the state_dict like the full model would
+        sd = {f"backbone.vit_lidar.{k}": v
+              for k, v in twin.state_dict().items()}
+        tree = import_vit_encoder(sd, "backbone.vit_lidar")
+
+        cfg = _twin_vit_cfg(lidar_ch=in_ch)
+        enc = ViTEncoder(cfg, in_channels=in_ch, use_flash=False)
+        x = rng.normal(0, 1, (2, in_ch, *d["img_size"])).astype(np.float32)
+        x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+        init = enc.init(jax.random.key(0), x_nhwc)
+        variables = {"params": tree}
+        assert jax.tree.structure(init) == jax.tree.structure(
+            jax.tree.map(jnp.asarray, variables))
+
+        with torch.inference_mode():
+            want = twin.forward_features(torch.tensor(x)).numpy()
+        got = np.asarray(enc.apply(variables, x_nhwc))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    def test_qkv_packing_order(self, rng):
+        """The packed-qkv feature order (q first, head-major within each
+        of q/k/v) must survive the import: perturb ONE head's key rows in
+        torch and check the intentbev output changes only through that
+        head's attention (i.e. outputs differ — a wrong packing would map
+        the perturbation into v or another head and still differ, so
+        additionally check against the twin's own perturbed forward)."""
+        from intentbev.models.vit import ViTEncoder
+
+        d = TWIN_DIMS
+        in_ch = 12
+        torch.manual_seed(41)
+        twin = TwinViT(d["img_size"], d["patch"], in_ch, d["embed_dim"],
+                       d["depth"], d["num_heads"], d["mlp_ratio"])
+        _randomize_torch_model(twin, 42)
+        twin.eval()
+        # perturb k-rows of head 1 in block 0: rows D + head_dim..2*head_dim
+        D, H = d["embed_dim"], d["num_heads"]
+        hd = D // H
+        with torch.no_grad():
+            twin.blocks[0].attn.qkv.weight[D + hd: D + 2 * hd] += 0.5
+
+        sd = {f"backbone.vit_lidar.{k}": v
+              for k, v in twin.state_dict().items()}
+        tree = import_vit_encoder(sd, "backbone.vit_lidar")
+        cfg = _twin_vit_cfg(lidar_ch=in_ch)
+        enc = ViTEncoder(cfg, in_channels=in_ch, use_flash=False)
+        x = rng.normal(0, 1, (1, in_ch, *d["img_size"])).astype(np.float32)
+        with torch.inference_mode():
+            want = twin.forward_features(torch.tensor(x)).numpy()
+        got = np.asarray(enc.apply(
+            {"params": tree}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+class TestViTFullImport:
+    def _build_pair(self, seed):
+        ref_cnn = load_ref("model_cnn")
+        ref_heads = load_ref("heads")
+        d = TWIN_DIMS
+        torch.manual_seed(seed)
+        twin = build_twin_intentnet_vit(
+            ref_cnn, ref_heads,
+            img_size=d["img_size"], patch=d["patch"], lidar_chans=12,
+            map_chans=9, embed_dim=d["embed_dim"], depth=d["depth"],
+            num_heads=d["num_heads"], adapter_out=16, fusion_planes=32,
+            fusion_layers=2, fusion_stride=1, mlp_ratio=d["mlp_ratio"])
+        _randomize_torch_model(twin, seed + 1)
+        twin.eval()
+        variables = import_vit_state_dict(twin.state_dict(), fusion_layers=2)
+        return twin, variables
+
+    def test_full_model_forward_parity(self, rng):
+        """Imported IntentNetViT forward == the torch twin (timm math +
+        reference tail) to < 1e-3 — the round-5 'done' bar."""
+        from intentbev.models import IntentNetViT
+
+        twin, variables = self._build_pair(51)
+        cfg = _twin_vit_cfg()
+        lidar = rng.normal(0, 1, (2, 12, *TWIN_DIMS["img_size"])).astype(np.float32)
+        mapb = (rng.uniform(0, 1, (2, 9, *TWIN_DIMS["img_size"])) > 0.7
+                ).astype(np.float32)
+        with torch.inference_mode():
+            want = twin(torch.tensor(lidar), torch.tensor(mapb))
+
+        model = IntentNetViT(cfg, HeadConfig())
+        init = model.init(jax.random.key(0), jnp.asarray(lidar), jnp.asarray(mapb))
+        assert jax.tree.structure(init) == jax.tree.structure(
+            jax.tree.map(jnp.asarray, variables))
+
+        got = model.apply(variables, jnp.asarray(lidar), jnp.asarray(mapb))
+        for g, t, name in zip(got, want, ["cls", "box", "intent"]):
+            t = t.numpy()
+            assert g.shape == t.shape, name
+            assert np.max(np.abs(np.asarray(g) - t)) < 1e-3, name
+
+    def test_flagship_size_schema_maps(self):
+        """The REAL vit_small_patch8_224 schema at full reference size
+        (290/9 in-chans, 400x720, embed 384, depth 12) imports into a tree
+        structurally identical to IntentNetViT's init (shape-only via
+        eval_shape — no full-size forward on CPU)."""
+        from intentbev.configs import ExperimentConfig
+        from intentbev.models import build_model
+
+        ref_cnn = load_ref("model_cnn")
+        ref_heads = load_ref("heads")
+        torch.manual_seed(61)
+        twin = build_twin_intentnet_vit(
+            ref_cnn, ref_heads,
+            img_size=(400, 720), patch=8, lidar_chans=290, map_chans=9,
+            embed_dim=384, depth=12, num_heads=6, adapter_out=192,
+            fusion_planes=512, fusion_layers=2, fusion_stride=1)
+        variables = import_vit_state_dict(twin.state_dict(), fusion_layers=2)
+
+        cfg = ExperimentConfig(model_family="vit")
+        model = build_model(cfg)
+        g = cfg.grid
+        init = jax.eval_shape(
+            model.init, jax.random.key(0),
+            jax.ShapeDtypeStruct(
+                (1, g.height_px, g.width_px, g.lidar_total_channels),
+                jnp.float32),
+            jax.ShapeDtypeStruct(
+                (1, g.height_px, g.width_px, g.map_channels), jnp.float32))
+        got_shapes = jax.tree.map(lambda a: tuple(a.shape), variables)
+        want_shapes = jax.tree.map(lambda a: tuple(a.shape), init)
+        assert got_shapes == want_shapes
+
+
 class TestImportCLI:
     def test_reference_checkpoint_roundtrip(self, tmp_path, rng):
         """reference torch.save file -> intentbev-import-torch -> orbax
@@ -333,3 +509,84 @@ class TestImportCLI:
             state["batch_stats"]["backbone"]["fusion"]["block1"]["bn2"]["var"],
             variables["batch_stats"]["backbone"]["fusion"]["block1"]["bn2"]["var"],
             atol=0)
+
+    def test_vit_checkpoint_roundtrip_and_eval_equivalence(
+            self, tmp_path, rng):
+        """reference ViT torch.save file -> ``intentbev-import-torch
+        --model vit`` -> orbax checkpoint; the imported checkpoint and a
+        natively-saved checkpoint of the same weights give IDENTICAL eval
+        metrics on a synthetic split (the round-5 'done' bar)."""
+        import dataclasses
+
+        from intentbev.checkpoint import load_checkpoint, save_checkpoint
+        from intentbev.configs import GridConfig, tiny_test_config
+        from intentbev.data.synthetic import write_synthetic_log
+        from intentbev.evaluate import evaluate
+        from intentbev.import_torch import main as import_main
+        from intentbev.precompute_labels import run as precompute_run
+
+        ref_cnn = load_ref("model_cnn")
+        ref_heads = load_ref("heads")
+        torch.manual_seed(71)
+        # twin at the tiny-eval geometry: grid 64x96, 4 z-slices x 3 sweeps
+        twin = build_twin_intentnet_vit(
+            ref_cnn, ref_heads,
+            img_size=(64, 96), patch=8, lidar_chans=12, map_chans=9,
+            embed_dim=32, depth=2, num_heads=2, adapter_out=16,
+            fusion_planes=32, fusion_layers=2, fusion_stride=1)
+        _randomize_torch_model(twin, 72)
+        twin.eval()
+        variables = import_vit_state_dict(twin.state_dict(), fusion_layers=2)
+
+        pth = tmp_path / "intentnet_vit_final.pth"
+        torch.save({
+            "epoch": 3,
+            "model_state_dict": twin.state_dict(),
+            "optimizer_state_dict": {},
+            "backbone_cfg": {
+                "vit_model_name_lidar": "vit_small_patch8_224",
+                "img_size": (64, 96),
+                "fusion_block_planes": 32,
+                "fusion_block_layers": 2,
+                "fusion_block_stride": 1,
+            },
+        }, pth)
+
+        imported_dir = tmp_path / "imported_vit"
+        import_main([str(pth), str(imported_dir), "--model", "vit",
+                     "--num_heads", "2"])
+
+        state, got_cfg = load_checkpoint(imported_dir)
+        assert got_cfg.model_family == "vit"
+        v = got_cfg.vit
+        assert (v.embed_dim, v.depth, v.num_heads, v.patch_size) == (32, 2, 2, 8)
+        assert v.img_size == (64, 96) and v.lidar_input_channels == 12
+        np.testing.assert_array_equal(
+            state["params"]["backbone"]["vit_lidar"]["block0"]["attn"]["qkv"]["kernel"],
+            variables["params"]["backbone"]["vit_lidar"]["block0"]["attn"]["qkv"]["kernel"])
+
+        # the eval config: tiny grid matching the synthetic fixture
+        cfg = tiny_test_config()
+        grid = GridConfig(height_px=64, width_px=96,
+                          lidar_height_channels=4, lidar_sweeps=3)
+        vit_cfg = dataclasses.replace(
+            _twin_vit_cfg(lidar_ch=12, map_ch=9, adapter_out=16, fusion=32),
+            img_size=(64, 96))
+        cfg = dataclasses.replace(cfg, model_family="vit", grid=grid,
+                                  vit=vit_cfg)
+
+        native_dir = tmp_path / "native_vit"
+        save_checkpoint(str(native_dir), step=3, state=variables, config=cfg)
+
+        split = tmp_path / "val"
+        split.mkdir()
+        write_synthetic_log(split, log_id="importeval01", num_frames=6,
+                            seed=7)
+        precompute_run(str(tmp_path), ["val"], force=True)
+
+        m_imp = evaluate(str(imported_dir), str(split), cfg_override=cfg,
+                         num_workers=1, log_fn=lambda *_: None)
+        m_nat = evaluate(str(native_dir), str(split), cfg_override=cfg,
+                         num_workers=1, log_fn=lambda *_: None)
+        assert m_imp == m_nat
+        assert m_imp["num_samples"] > 0

@@ -94,10 +94,11 @@ def main():
           f"({B / dt:.1f} samples/s), loss={float(m['loss']):.4f}")
 
     if args.trace:
+        import os
         import sys
         import tempfile
 
-        sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from profile_step import parse
 
         trace_dir = tempfile.mkdtemp(prefix="ibtrain_")

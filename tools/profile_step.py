@@ -51,7 +51,8 @@ def run_and_trace(args) -> str:
         from intentbev.boxes.anchors import generate_anchors
         from intentbev.boxes.nms import batched_postprocess
         from intentbev.ops.voxel_embed import (
-            build_voxel_chunks, stack_voxel_chunks, voxel_fill_bev)
+            CNN_CHUNK_PATCH, build_voxel_chunks, stack_voxel_chunks,
+            voxel_fill_bev)
 
         B = args.batch
         r = np.random.default_rng(0)
@@ -63,7 +64,8 @@ def run_and_trace(args) -> str:
         pts[..., 3] = r.uniform(0, 255, pts.shape[:3])
         ones = np.ones((s, 16384), bool)
         chunks = stack_voxel_chunks(
-            [build_voxel_chunks(pts[b], ones, g, 8)[0] for b in range(B)])
+            [build_voxel_chunks(pts[b], ones, g, CNN_CHUNK_PATCH)[0]
+             for b in range(B)])
         chunks = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a)), chunks)
         mp = jnp.asarray(
@@ -80,7 +82,7 @@ def run_and_trace(args) -> str:
         def step(variables, chunks, mp):
             lidar = voxel_fill_bev(
                 chunks, (g.height_px, g.width_px), g.lidar_total_channels,
-                8, dtype=jnp.bfloat16)
+                CNN_CHUNK_PATCH, dtype=jnp.bfloat16)
             cls_l, box_d, int_l = model.apply(variables, lidar, mp)
             det = batched_postprocess(
                 cls_l, box_d, int_l, anchors,
