@@ -131,6 +131,60 @@ def aug_linear_matrix(params_row) -> "_np.ndarray":
     return s * rot @ _np.array([[1.0, 0.0], [0.0, fs]], dtype=_np.float64)
 
 
+def augment_points_np(points: "_np.ndarray",
+                      aug_params: "_np.ndarray") -> "_np.ndarray":
+    """HOST (numpy) mirror of the point half of :func:`augment_points_gt`:
+    p' = s * R(theta) * diag(1, flip_sign) * p on f32[..., 4] points.
+
+    Used by the chunk train transport (data/pipeline.py): the aug params
+    are host-drawn anyway, so the points transform before the host chunk
+    build instead of on device — the device's scatter-max voxelizer then
+    disappears from the train step entirely (ops.voxel_embed fills the BEV
+    from the pre-transformed chunks). Same f32 op order as the device
+    version; parity is tested cell-exactly through the voxelizer
+    (tests/test_train_chunks.py)."""
+    fs = _np.float32(aug_params[0])
+    theta = _np.float32(aug_params[1])
+    s = _np.float32(aug_params[2])
+    x = points[..., 0]
+    y = points[..., 1] * fs
+    ca, sa = _np.cos(theta, dtype=_np.float32), _np.sin(theta, dtype=_np.float32)
+    out = points.copy()
+    out[..., 0] = s * (x * ca - y * sa)
+    out[..., 1] = s * (x * sa + y * ca)
+    return out
+
+
+def augment_gt(
+    gt_boxes: jnp.ndarray,    # f32[G, 5]
+    gt_intentions: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    aug_params: jnp.ndarray,  # f32[3] = (flip_sign, theta, scale)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """GT half of :func:`augment_points_gt` (flip/rotate/scale boxes +
+    L/R intent swap) — the chunk train transport pre-transforms the points
+    on the host and only the GT transform remains on device."""
+    fs, theta, s = aug_params[0], aug_params[1], aug_params[2]
+    do_flip = fs < 0
+    ca, sa = jnp.cos(theta), jnp.sin(theta)
+    boxes = gt_boxes
+    flipped = boxes.at[:, 1].multiply(-1.0).at[:, 4].multiply(-1.0)
+    boxes = jnp.where(do_flip, flipped, boxes)
+    flip_table = jnp.asarray(_FLIP_INTENT_TABLE_NP)
+    intents = jnp.where(
+        do_flip, flip_table[jnp.maximum(gt_intentions, 0)], gt_intentions
+    )
+    cx, cy = boxes[:, 0], boxes[:, 1]
+    boxes = boxes.at[:, 0].set(cx * ca - cy * sa).at[:, 1].set(cx * sa + cy * ca)
+    boxes = boxes.at[:, 4].add(theta)
+    boxes = boxes.at[:, :4].multiply(s)
+    boxes = boxes.at[:, 4].set(jnp.arctan2(jnp.sin(boxes[:, 4]), jnp.cos(boxes[:, 4])))
+
+    boxes = jnp.where(gt_valid[:, None], boxes, gt_boxes)
+    intents = jnp.where(gt_valid, intents, gt_intentions)
+    return boxes, intents.astype(jnp.int32)
+
+
 def augment_points_gt(
     points: jnp.ndarray,      # f32[S, P, 4]
     gt_boxes: jnp.ndarray,    # f32[G, 5]
@@ -147,29 +201,12 @@ def augment_points_gt(
     :func:`augment_bev` (utils.py:406-414, 441-448, 478-479).
     """
     fs, theta, s = aug_params[0], aug_params[1], aug_params[2]
-    do_flip = fs < 0
-
     x, y = points[..., 0], points[..., 1] * fs
     ca, sa = jnp.cos(theta), jnp.sin(theta)
     x, y = s * (x * ca - y * sa), s * (x * sa + y * ca)
     points = jnp.stack([x, y, points[..., 2], points[..., 3]], axis=-1)
-
-    boxes = gt_boxes
-    flipped = boxes.at[:, 1].multiply(-1.0).at[:, 4].multiply(-1.0)
-    boxes = jnp.where(do_flip, flipped, boxes)
-    flip_table = jnp.asarray(_FLIP_INTENT_TABLE_NP)
-    intents = jnp.where(
-        do_flip, flip_table[jnp.maximum(gt_intentions, 0)], gt_intentions
-    )
-    cx, cy = boxes[:, 0], boxes[:, 1]
-    boxes = boxes.at[:, 0].set(cx * ca - cy * sa).at[:, 1].set(cx * sa + cy * ca)
-    boxes = boxes.at[:, 4].add(theta)
-    boxes = boxes.at[:, :4].multiply(s)
-    boxes = boxes.at[:, 4].set(jnp.arctan2(jnp.sin(boxes[:, 4]), jnp.cos(boxes[:, 4])))
-
-    boxes = jnp.where(gt_valid[:, None], boxes, gt_boxes)
-    intents = jnp.where(gt_valid, intents, gt_intentions)
-    return points, boxes, intents.astype(jnp.int32)
+    boxes, intents = augment_gt(gt_boxes, gt_intentions, gt_valid, aug_params)
+    return points, boxes, intents
 
 
 def dropout_keep_mask(rng: jax.Array, cfg: AugmentConfig, h: int, w: int) -> jnp.ndarray:

@@ -332,6 +332,14 @@ class TrainConfig:
     # scale fits v5e HBM without it (measured: 999 vs 1107 ms/step)
     remat_vit_blocks: bool = False
     donate_train_state: bool = True
+    # "points": ship packed points, device augments + scatter-max
+    # voxelizes. "chunks": the loader applies the drawn augmentation to
+    # the points on the HOST and ships voxel placement chunks
+    # (ops.voxel_embed) — the train step fills the BEV with the linear
+    # band writer instead of the scatter+layout-copy chain the serving
+    # path already eliminated (VERDICT r4 item 2a).
+    transport: str = "points"
+    chunk_capacity: int = 768  # fixed chunk-array size (shape-stable jit)
 
 
 @dataclass(frozen=True)

@@ -42,17 +42,72 @@ class Batch(NamedTuple):
     aug_params: np.ndarray    # f32[B, 3] = (flip_sign, theta, scale); identity (1,0,1) when not augmenting
 
 
-def _stack(samples: Sequence[Sample], aug: Sequence[np.ndarray]) -> Batch:
+class ChunkBatch(NamedTuple):
+    """Chunk-transport training batch: the host applies the drawn
+    flip/rotate/scale to the raw points (bev.augment.augment_points_np)
+    and builds voxel placement chunks (ops.voxel_embed, C++ builder), so
+    the device train step fills the BEV with the linear band writer
+    (voxel_fill_bev) instead of the scatter-max + layout-copy chain, and
+    only the GT transform (bev.augment.augment_gt) remains on device.
+    Chunks ship compact (pack_chunk_transport)."""
+
+    chunks: tuple              # VoxelChunks of np arrays, compact dtypes
+    map_bev: np.ndarray        # as Batch.map_bev
+    gt_boxes: np.ndarray       # f32[B, G, 5] — UNaugmented; device applies
+    gt_intentions: np.ndarray  # i32[B, G]       augment_gt with aug_params
+    gt_valid: np.ndarray       # bool[B, G]
+    aug_params: np.ndarray     # f32[B, 3]
+
+
+def _stack_map(samples: Sequence[Sample]) -> np.ndarray:
     from ..bev.rasterize import pack_map_channels
-    from ..bev.voxelize import quantize_points_cm
 
     map_bev = np.stack([s.map_bev for s in samples])
     if map_bev.dtype == np.uint8 and map_bev.shape[-1] > 1:
         map_bev = pack_map_channels(map_bev)  # binary channels, exact
+    return map_bev
+
+
+def _stack(samples: Sequence[Sample], aug: Sequence[np.ndarray]) -> Batch:
+    from ..bev.voxelize import quantize_points_cm
+
     return Batch(
         points=quantize_points_cm(np.stack([s.points for s in samples])),
         points_valid=np.stack([s.points_valid for s in samples]),
-        map_bev=map_bev,
+        map_bev=_stack_map(samples),
+        gt_boxes=np.stack([s.gt_boxes for s in samples]),
+        gt_intentions=np.stack([s.gt_intentions for s in samples]),
+        gt_valid=np.stack([s.gt_valid for s in samples]),
+        aug_params=np.stack(aug).astype(np.float32),
+    )
+
+
+def _stack_chunks(
+    samples: Sequence[Sample],
+    aug: Sequence[np.ndarray],
+    grid,
+    chunk_patch: int,
+    chunk_capacity: int,
+) -> ChunkBatch:
+    from ..bev.augment import augment_points_np
+    from ..bev.voxelize import quantize_points_cm
+    from ..ops.voxel_embed import (build_voxel_chunks, pack_chunk_transport,
+                                   stack_voxel_chunks)
+
+    # cm round-trip FIRST so both transports voxelize identical
+    # coordinates (the points transport ships i16 cm; without this, raw-f32
+    # chunks would differ from the points path in boundary cells)
+    inv = np.asarray([0.01, 0.01, 0.01, 1.0], np.float32)
+    chs = []
+    for s, a in zip(samples, aug):
+        pts = quantize_points_cm(s.points).astype(np.float32) * inv
+        pts = augment_points_np(pts, a)
+        chs.append(build_voxel_chunks(
+            pts, s.points_valid, grid, chunk_patch,
+            num_chunks=chunk_capacity, on_overflow="drop")[0])
+    return ChunkBatch(
+        chunks=pack_chunk_transport(stack_voxel_chunks(chs)),
+        map_bev=_stack_map(samples),
         gt_boxes=np.stack([s.gt_boxes for s in samples]),
         gt_intentions=np.stack([s.gt_intentions for s in samples]),
         gt_valid=np.stack([s.gt_valid for s in samples]),
@@ -70,6 +125,9 @@ def batch_iterator(
     drop_last: bool = False,
     augment=None,
     skip_batches: int = 0,
+    transport: str = "points",
+    chunk_patch: int = 8,
+    chunk_capacity: int = 768,
 ) -> Iterator[Batch]:
     """Yield fixed-shape batches; failed samples are dropped (so a batch can
     be smaller than ``batch_size``, like the reference's collate_fn).
@@ -88,8 +146,24 @@ def batch_iterator(
     the near-infallible-load assumption (a dropped failed sample before the
     skip point shifts the boundary by one; precomputed labels make loads
     infallible in practice).
+
+    ``transport``: "points" (default) ships packed points and the device
+    augments + voxelizes; "chunks" applies the drawn augmentation to the
+    points HERE (host) and ships voxel placement chunks (ChunkBatch) so
+    the device step skips the scatter-max entirely. ``chunk_capacity``
+    fixes the chunk arrays' shape so every batch hits one compiled
+    program (overfull bands drop their rarest-window cells).
     """
     from ..bev.augment import IDENTITY_AUG, aug_linear_matrix, draw_aug_params
+
+    if transport == "chunks":
+        grid = loader.grid
+
+        def stack(samples, aug):
+            return _stack_chunks(samples, aug, grid, chunk_patch,
+                                 chunk_capacity)
+    else:
+        stack = _stack
 
     order = np.arange(len(sequences))
     rng = np.random.default_rng(seed)
@@ -114,10 +188,10 @@ def batch_iterator(
                 pending.append(s)
                 pending_aug.append(params[k])
             if len(pending) == batch_size:
-                yield _stack(pending, pending_aug)
+                yield stack(pending, pending_aug)
                 pending, pending_aug = [], []
         if pending and not drop_last:
-            yield _stack(pending, pending_aug)
+            yield stack(pending, pending_aug)
         return
 
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
@@ -142,10 +216,10 @@ def batch_iterator(
                 pending.append(s)
                 pending_aug.append(params[k])
             if len(pending) == batch_size:
-                yield _stack(pending, pending_aug)
+                yield stack(pending, pending_aug)
                 pending, pending_aug = [], []
         if pending and not drop_last:
-            yield _stack(pending, pending_aug)
+            yield stack(pending, pending_aug)
 
 
 def pad_batch(batch: Batch, batch_size: int) -> tuple[Batch, np.ndarray]:
@@ -155,7 +229,7 @@ def pad_batch(batch: Batch, batch_size: int) -> tuple[Batch, np.ndarray]:
     carry zero GT so they contribute nothing to the loss beyond easy
     negatives; eval must mask by sample_valid.
     """
-    b = batch.points.shape[0]
+    b = batch.gt_boxes.shape[0]
     sample_valid = np.zeros((batch_size,), dtype=bool)
     sample_valid[:b] = True
     if b == batch_size:
@@ -165,7 +239,9 @@ def pad_batch(batch: Batch, batch_size: int) -> tuple[Batch, np.ndarray]:
         pad_width = [(0, batch_size - b)] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, pad_width)
 
-    return Batch(*[pad(a) for a in batch]), sample_valid
+    import jax
+
+    return jax.tree_util.tree_map(pad, batch), sample_valid
 
 
 def device_prefetch(iterator: Iterator, size: int = 2, put=None) -> Iterator:

@@ -122,6 +122,185 @@ def multi_lane_map_data(
     return map_data
 
 
+def curved_arc_point(radius: float, t: float, d: float,
+                     sign: float = 1.0) -> tuple[float, float, float]:
+    """World-frame (x, y, yaw) on a circular corridor.
+
+    The corridor centerline is the arc of ``radius`` through the origin,
+    tangent to +x there, curving toward +y (``sign``=+1, left) or -y
+    (-1, right); ``t`` is the arc-length parameter (meters along the
+    centerline), ``d`` the signed lateral offset (+ = toward the arc
+    center, i.e. the inside of the curve). yaw is the forward tangent."""
+    a = t / radius
+    r = radius - d
+    x = r * np.sin(a)
+    y = sign * (radius - r * np.cos(a))
+    return float(x), float(y), float(sign * a)
+
+
+def curved_multi_lane_map_data(
+    radius: float, sign: float = 1.0,
+    t_min: float = -40.0, t_max: float = 220.0,
+) -> dict:
+    """The 4-lane corridor of :func:`multi_lane_map_data` bent onto a
+    circular arc (``curved_arc_point`` geometry). Same lane widths,
+    boundary offsets (d in {-7, -3.5, 0, 3.5, 7}) and mark types; lane
+    centers at d in {+-1.75, +-5.25}. On a curve the kinematic
+    keep-lane/lane-change distinction stops being a local property (every
+    keep-laner has nonzero yaw rate ~ v/R), so a model must read the
+    lane geometry from the MAP stream to separate them — the hard
+    benchmark's map-context cue (docs/TRAINING.md)."""
+    ts = np.arange(t_min, t_max, 4.0)
+
+    def boundary(d):
+        return [
+            {"x": p[0], "y": p[1], "z": 0.0}
+            for p in (curved_arc_point(radius, float(t), d, sign) for t in ts)
+        ]
+
+    def lane(lid, left_d, right_d, left_mark, right_mark):
+        # "left" boundary = larger +y for sign=+1 driving +x, which is
+        # the SMALLER radius side (toward center): d=+7 is innermost
+        ld, rd = (left_d, right_d) if sign > 0 else (-left_d, -right_d)
+        return {
+            "id": lid,
+            "is_intersection": False,
+            "lane_type": "VEHICLE",
+            "left_lane_boundary": boundary(ld),
+            "right_lane_boundary": boundary(rd),
+            "left_lane_mark_type": left_mark,
+            "right_lane_mark_type": right_mark,
+            "successors": [],
+            "predecessors": [],
+        }
+
+    return {
+        "lane_segments": {
+            "101": lane(101, 3.5, 0.0, "DASHED_WHITE", "SOLID_YELLOW"),
+            "102": lane(102, 7.0, 3.5, "SOLID_WHITE", "DASHED_WHITE"),
+            "103": lane(103, 0.0, -3.5, "SOLID_YELLOW", "DASHED_WHITE"),
+            "104": lane(104, -3.5, -7.0, "DASHED_WHITE", "SOLID_WHITE"),
+        },
+        "pedestrian_crossings": {},
+        "drivable_areas": {},
+    }
+
+
+def inject_label_noise(split_dir: str | Path, rate: float, seed: int = 0,
+                       num_classes: int = 8) -> dict:
+    """Flip each precomputed vehicle intent label to a DIFFERENT uniform
+    class with probability ``rate`` (train-split corruption for the hard
+    benchmark — real heuristic labels carry exactly this kind of error on
+    boundary tracks; the reference trains through it unexamined). Edits
+    ``annotations_with_intent.feather`` in place; labels of -1
+    (non-vehicle rows) are never touched. Returns flip counts per log."""
+    from ..utils.featherio import read_ipc_dataframe, write_ipc_dataframe
+
+    rng = np.random.default_rng(seed)
+    out = {}
+    for f in sorted(Path(split_dir).glob("*/annotations_with_intent.feather")):
+        df = read_ipc_dataframe(f)
+        lab = df["heuristic_intent"].to_numpy().astype(np.int32)
+        veh = lab >= 0
+        flip = veh & (rng.uniform(size=len(lab)) < rate)
+        # uniform over the OTHER classes: draw from [0, C-1) and skip past
+        # the current label so the result is never a no-op flip
+        draw = rng.integers(0, num_classes - 1, size=len(lab)).astype(np.int32)
+        new = np.where(draw >= lab, draw + 1, draw)
+        lab = np.where(flip, new, lab)
+        df["heuristic_intent"] = lab
+        write_ipc_dataframe(df, f)
+        out[f.parent.name] = int(flip.sum())
+    return out
+
+
+def _apply_occlusion(
+    pts: np.ndarray,
+    occluders: list[tuple[float, float, float]],
+    rng: np.random.Generator,
+    drop_prob: float,
+) -> np.ndarray:
+    """Ray-shadow model: points angularly behind an occluder (from the
+    ego at the origin) survive only with ``1 - drop_prob``.
+
+    ``occluders``: (x, y, radius) ego-frame discs (vehicle footprints).
+    For each disc the shadow is the angular interval it subtends widened
+    to its far edge; any point inside the interval and beyond the disc is
+    shadowed. Real AV2 sweeps carry exactly this structure (annotations
+    persist while the object's points vanish behind closer traffic), and
+    it is the cue that separates global-context models from local ones:
+    an occluded car's extent must be inferred from the visible sliver +
+    scene context. Vectorised: one [V, N] angular test per sweep."""
+    if not occluders or drop_prob <= 0.0 or len(pts) == 0:
+        return pts
+    az = np.arctan2(pts[:, 1], pts[:, 0])
+    rr = np.hypot(pts[:, 0], pts[:, 1])
+    shadowed = np.zeros(len(pts), dtype=bool)
+    for ox, oy, orad in occluders:
+        d = float(np.hypot(ox, oy))
+        if d < orad + 0.5:  # ego inside/next to the disc: no shadow
+            continue
+        half = float(np.arcsin(min(1.0, orad / d)))
+        ang = np.abs(((az - np.arctan2(oy, ox)) + np.pi) % (2 * np.pi) - np.pi)
+        shadowed |= (ang < half) & (rr > d + orad)
+    keep = ~shadowed | (rng.uniform(size=len(pts)) >= drop_prob)
+    return pts[keep]
+
+
+def clutter_points(
+    rng: np.random.Generator,
+    num_objects: int,
+    x_range: tuple[float, float] = (-15.0, 55.0),
+    arc: tuple[float, float] | None = None,
+) -> np.ndarray:
+    """Unannotated static obstacles (ego-frame world offsets are applied
+    by the caller): poles (thin tall clusters), bushes (car-scale blobs)
+    and wall segments, placed in the off-lane band (|y| in [7.5, 14]) so
+    they overlap where parked cars live. Bushes are the adversarial
+    distractor — curb-side blobs at parked-car scale that carry NO
+    annotation, so a detector keying on 'dense off-lane cluster' pays in
+    false positives.
+
+    ``arc``: optional (radius, sign) — object centers are drawn in
+    corridor coordinates (t along the centerline, d lateral) and mapped
+    through :func:`curved_arc_point`, so clutter follows a curved
+    corridor's off-lane band instead of straddling the outer lane."""
+    groups = []
+    for _ in range(num_objects):
+        kind = rng.choice(["pole", "bush", "wall"], p=[0.35, 0.45, 0.2])
+        cx = float(rng.uniform(*x_range))
+        cy = float(rng.choice([-1.0, 1.0])) * float(rng.uniform(7.5, 14.0))
+        if arc is not None:
+            radius, sign = arc
+            cx, cy, _ = curved_arc_point(radius, cx, sign * cy, sign)
+        if kind == "pole":
+            n = 40
+            g = np.stack([
+                cx + rng.normal(0, 0.15, n),
+                cy + rng.normal(0, 0.15, n),
+                rng.uniform(-1.6, 3.0, n),
+            ], axis=1)
+        elif kind == "bush":
+            n = 90
+            g = np.stack([
+                cx + rng.uniform(-2.2, 2.2, n),
+                cy + rng.uniform(-1.0, 1.0, n),
+                rng.uniform(-1.6, 0.4, n),
+            ], axis=1)
+        else:  # wall segment along x
+            n = 120
+            length = float(rng.uniform(6.0, 14.0))
+            g = np.stack([
+                cx + rng.uniform(0.0, length, n),
+                cy + rng.normal(0, 0.08, n),
+                rng.uniform(-1.6, 1.4, n),
+            ], axis=1)
+        groups.append(g)
+    if not groups:
+        return np.zeros((0, 3), np.float64)
+    return np.concatenate(groups, axis=0)
+
+
 def write_synthetic_log(
     root: str | Path,
     log_id: str | None = None,
@@ -132,6 +311,9 @@ def write_synthetic_log(
     vehicles: list[dict] | None = None,
     map_data: dict | None = None,
     ego_xs: np.ndarray | None = None,
+    occlusion_drop: float = 0.0,
+    num_clutter: int = 0,
+    clutter_arc: tuple[float, float] | None = None,
 ) -> Path:
     """Create one synthetic log; returns its directory.
 
@@ -153,6 +335,15 @@ def write_synthetic_log(
     ``map_data``: optional full log-map-archive dict (lane_segments /
     pedestrian_crossings / drivable_areas) replacing the default
     single-lane map — see ``multi_lane_map_data``.
+
+    ``occlusion_drop``: probability that a point angularly shadowed by a
+    closer vehicle (ray model, :func:`_apply_occlusion`) is dropped —
+    annotations for the shadowed vehicles REMAIN, as in real AV2, so a
+    detector must infer occluded extent from partial evidence.
+    ``num_clutter``: unannotated static obstacles per log
+    (:func:`clutter_points` — poles/bushes/walls in the off-lane band
+    where parked cars live). Both power the hard ViT-vs-CNN benchmark
+    (docs/TRAINING.md; VERDICT r4 missing #4).
 
     ``ego_xs``: optional per-frame ego x positions (world frame, y=0,
     yaw=0) overriding the default constant-velocity ego. A (mostly)
@@ -241,6 +432,8 @@ def write_synthetic_log(
     # --- lidar sweeps: ground plane + boxes around each vehicle (world frame
     # shifted into per-sweep ego frame; reference transforms sweeps between
     # ego frames via poses, dataset.py:298-341)
+    clutter_world = (clutter_points(rng, num_clutter, arc=clutter_arc)
+                     if num_clutter else None)
     for i, ts in enumerate(timestamps):
         ex = float(ego_xs[i])
         ground = np.stack([
@@ -249,6 +442,7 @@ def write_synthetic_log(
             rng.uniform(-1.9, -1.6, points_per_sweep // 2),
         ], axis=1)
         vpts = []
+        occluders: list[tuple[float, float, float]] = []
         for v, traj, (f0, f1) in zip(vehicles, trajs, frame_ranges):
             if not (f0 <= i < f1):
                 continue
@@ -256,6 +450,8 @@ def write_synthetic_log(
             vx -= ex
             half_l = v.get("length", 4.5) / 2.0
             half_w = v.get("width", 2.0) / 2.0
+            occluders.append(
+                (vx, vy, float(np.hypot(half_l, half_w))))
             # points in the vehicle frame, rotated by the track heading
             lx = rng.uniform(-half_l, half_l, 120)
             ly = rng.uniform(-half_w, half_w, 120)
@@ -265,10 +461,20 @@ def write_synthetic_log(
                 vy + s * lx + c * ly,
                 rng.uniform(-1.2, 0.6, 120),
             ], axis=1))
-        pts = np.concatenate([ground] + vpts, axis=0).astype(np.float32)
+        if clutter_world is not None:
+            cl = clutter_world.copy()
+            cl[:, 0] -= ex
+            vpts.append(cl)
+        pts = np.concatenate([ground] + vpts, axis=0)
+        if occlusion_drop > 0.0:
+            pts = _apply_occlusion(pts, occluders, rng, occlusion_drop)
+        pts = pts.astype(np.float32)
         df = pd.DataFrame({
             "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
-            "intensity": rng.uniform(0, 255, len(pts)).astype(np.float32),
+            # AV2 stores intensity as uint8 (the reference reads this
+            # column, dataset.py:311); integral values also let the chunk
+            # transport ship val as u8 exactly (pack_chunk_transport)
+            "intensity": rng.integers(0, 256, len(pts)).astype(np.uint8),
             "laser_number": np.zeros(len(pts), dtype=np.uint8),
             "offset_ns": np.zeros(len(pts), dtype=np.int32),
         })

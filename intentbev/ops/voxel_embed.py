@@ -97,6 +97,70 @@ class VoxelChunks(NamedTuple):
 from .patch_embed import rows_per_program  # noqa: E402  (re-export)
 
 
+def pack_chunk_transport(chunks: VoxelChunks,
+                         window: int = WINDOW) -> VoxelChunks:
+    """Host-side compact encoding of placement chunks for the H2D link.
+
+    The chunk payload is the sustained-serving transport limiter (the
+    device consumes batches faster than the host link ships them on
+    bandwidth-bound deployments), so every exact bit-saving matters:
+
+    - ``sl`` + ``ch`` pack into ONE u16 per cell (slot-in-window in the
+      low 6 bits — window is 64 slots — channel in the high 10) whenever
+      the channel index fits 10 bits (the 290-channel flagship grid does).
+      EXACT; 3 bytes -> 2 per cell. The placeholder ``ch`` ships as a
+      zero-size array (0 bytes).
+    - ``val`` ships u8 when every value is integral in [0, 255]. AV2
+      LiDAR intensity IS uint8 (the feather column the reference reads,
+      dataset.py:311), so on real data this is exact; synthetic float
+      intensities keep f32 and only pay the 2-byte sl/ch saving.
+    - ``wid`` stays i32 (one per chunk, not per cell — negligible).
+
+    Together: 452 -> 196 bytes/chunk on integral-intensity data (u16
+    packed indices + u8 values), a 2.3x transport cut. Inverse:
+    :func:`decode_chunk_transport` (elementwise, inside the jitted
+    program, ~0.05 ms/batch at HBM speed).
+    """
+    sl = np.asarray(chunks.sl)
+    ch = np.asarray(chunks.ch)
+    val = np.asarray(chunks.val)
+    out = chunks._replace(
+        wid=np.asarray(chunks.wid).astype(np.int32),
+        count=np.asarray(chunks.count).astype(np.int32),
+    )
+    if window <= 64 and int(ch.max(initial=0)) < (1 << 10):
+        packed = ((ch.astype(np.uint16) << 6)
+                  | sl.astype(np.uint16)).astype(np.uint16)
+        out = out._replace(
+            sl=packed, ch=np.zeros(ch.shape[:-1] + (0,), np.int16))
+    elif window <= 256 and int(ch.max(initial=0)) < (1 << 15):
+        out = out._replace(sl=sl.astype(np.uint8), ch=ch.astype(np.int16))
+    if (val.size == 0
+            or (val.min(initial=0.0) >= 0.0 and val.max(initial=0.0) <= 255.0
+                and np.array_equal(val, np.rint(val)))):
+        out = out._replace(val=val.astype(np.uint8))
+    return out
+
+
+def decode_chunk_transport(chunks: VoxelChunks) -> VoxelChunks:
+    """Device-side inverse of :func:`pack_chunk_transport` — also accepts
+    unpacked (i32/f32) chunks unchanged. Elementwise converts inside the
+    jitted consumer; shapes/dtypes are static per trace."""
+    sl = chunks.sl
+    if sl.dtype == jnp.uint16:
+        p = sl.astype(jnp.int32)
+        sl_i = p & 63
+        ch_i = p >> 6
+    else:
+        sl_i = sl.astype(jnp.int32)
+        ch_i = chunks.ch.astype(jnp.int32)
+    val = chunks.val
+    if val.dtype != jnp.float32:
+        val = val.astype(jnp.float32)
+    return chunks._replace(
+        wid=chunks.wid.astype(jnp.int32), sl=sl_i, ch=ch_i, val=val)
+
+
 def build_voxel_chunks(
     points: np.ndarray,
     valid: np.ndarray,

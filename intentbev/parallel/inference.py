@@ -55,7 +55,15 @@ class StreamingInferencer:
         self.num_chunks = num_chunks
         anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
         rep = replicated(self.mesh)
-        self.variables = jax.device_put(variables, rep)
+        # abstract variables (ShapeDtypeStructs) are accepted for AOT
+        # compile-only validation (aot_compile) — nothing to device_put
+        self._abstract = any(
+            isinstance(leaf, jax.ShapeDtypeStruct)
+            for leaf in jax.tree.leaves(variables)
+        )
+        self.variables = (
+            variables if self._abstract else jax.device_put(variables, rep)
+        )
         self._b_shard = batch_sharding(self.mesh, cfg.mesh)
         grid, ev = cfg.grid, cfg.eval
         mdt = getattr(self.model, "dtype", jnp.float32)
@@ -80,15 +88,14 @@ class StreamingInferencer:
             return postprocess(cls_l, box_d, int_l)
 
         def infer_chunks(variables, chunks, map_bev):
-            # widen narrow-transport index dtypes (u8 slots / i16 channels,
-            # see build_chunks) back to the kernel's i32 — an elementwise
-            # convert inside the program (~0.05 ms/batch at HBM speed) that
-            # buys a ~33% smaller host->device transfer
-            chunks = chunks._replace(
-                wid=chunks.wid.astype(jnp.int32),
-                sl=chunks.sl.astype(jnp.int32),
-                ch=chunks.ch.astype(jnp.int32),
-            )
+            # decode the compact transport (u16 slot|channel packing, u8
+            # values — ops.voxel_embed.pack_chunk_transport) back to the
+            # kernel's i32/f32: an elementwise convert inside the program
+            # (~0.05 ms/batch at HBM speed) that buys a ~2.3x smaller
+            # host->device transfer
+            from ..ops.voxel_embed import decode_chunk_transport
+
+            chunks = decode_chunk_transport(chunks)
             cls_l, box_d, int_l = self.model.apply(
                 variables, chunks,
                 decode_map_transport(map_bev, grid.map_channels, mdt),
@@ -121,18 +128,64 @@ class StreamingInferencer:
         """Global batch must be a multiple of the data-axis size."""
         return self.mesh.devices.shape[0]
 
+    def aot_compile(self, global_batch: int | None = None,
+                    points_per_sweep: int = 2048):
+        """Lower + compile the streaming program at the given global batch
+        with abstract inputs (no full-size arrays materialized) — the
+        flagship-shape multi-chip validation path (BASELINE config 5:
+        streaming inference across a v5e-16 slice at full grid size).
+        Returns the compiled executable; works with abstract ``variables``
+        (pass ``jax.eval_shape`` of the init to the constructor)."""
+        g = self.cfg.grid
+        b = global_batch if global_batch is not None else self.batch_multiple
+        if b % self.batch_multiple:
+            raise ValueError(
+                f"global batch {b} not a multiple of {self.batch_multiple}")
+        sd = jax.ShapeDtypeStruct
+        var_sd = (self.variables if self._abstract
+                  else jax.eval_shape(lambda v: v, self.variables))
+        map_sd = sd((b, g.height_px, g.width_px, g.map_channels), jnp.float32)
+        if self.transport == "chunks":
+            from ..ops.voxel_embed import CAP, rows_per_program
+
+            patch = self.cfg.vit.patch_size
+            nb = g.height_px // (rows_per_program(g.height_px, patch) * patch)
+            nc = self.num_chunks
+            from ..ops.voxel_embed import VoxelChunks
+
+            # compact transport dtypes (pack_chunk_transport on real AV2
+            # data: u16 slot|channel, u8 integral intensities)
+            chunks_sd = VoxelChunks(
+                wid=sd((b, nb, nc), jnp.int32),
+                sl=sd((b, nb, nc, 1, CAP), jnp.uint16),
+                ch=sd((b, nb, nc, 1, 0), jnp.int16),
+                val=sd((b, nb, nc, 1, CAP), jnp.uint8),
+                count=sd((b, nb), jnp.int32),
+            )
+            lowered = self._infer.lower(var_sd, chunks_sd, map_sd)
+        else:
+            s = g.lidar_sweeps
+            lowered = self._infer.lower(
+                var_sd,
+                sd((b, s, points_per_sweep, 4), jnp.float32),
+                sd((b, s, points_per_sweep), jnp.bool_),
+                map_sd,
+            )
+        return lowered.compile()
+
     def build_chunks(self, points, points_valid):
         """Host side of the chunk transport (callable from loader threads
         so chunk building overlaps device inference).
 
-        Index fields ship NARROW — slot-in-window as u8 (window=64 slots),
-        channel as i16 (< 32768 BEV channels) — and are widened to the
-        kernel's i32 inside the jitted program. Exact (pure dtype
-        round-trip, unused slots hold zeros); cuts the chunk transfer from
-        3.95 to 2.64 MB/sample, which is the difference wherever the
-        host->device link (tunnel, DCN feed) is the sustained-rate
-        limiter."""
-        from ..ops.voxel_embed import (WINDOW, build_voxel_chunks,
+        The transport ships COMPACT (ops.voxel_embed.pack_chunk_transport):
+        slot+channel packed into one u16 per cell, values as u8 when the
+        source intensities are integral 0-255 (AV2's are uint8, so exact
+        on real data) — decoded to the kernel's i32/f32 inside the jitted
+        program. Cuts the chunk transfer from 3.95 to ~1.7 MB/sample,
+        which is the difference wherever the host->device link (tunnel,
+        DCN feed) is the sustained-rate limiter."""
+        from ..ops.voxel_embed import (build_voxel_chunks,
+                                       pack_chunk_transport,
                                        stack_voxel_chunks)
 
         pts = np.asarray(points)
@@ -148,13 +201,7 @@ class StreamingInferencer:
             )[0]
             for i in range(pts.shape[0])
         ])
-        g = self.cfg.grid
-        if WINDOW <= 256 and g.lidar_total_channels < 32768:
-            chunks = chunks._replace(
-                sl=np.asarray(chunks.sl).astype(np.uint8),
-                ch=np.asarray(chunks.ch).astype(np.int16),
-            )
-        return chunks
+        return pack_chunk_transport(chunks)
 
     def infer_chunks(self, chunks, map_bev, blocking: bool = True) -> Detections:
         """Run pre-built placement chunks (transport='chunks' only).
@@ -166,6 +213,11 @@ class StreamingInferencer:
         with the detection readback — on hosts where the readback has
         nontrivial latency this is the difference between serialized and
         pipelined sustained throughput."""
+        if self.transport != "chunks":
+            raise ValueError(
+                "infer_chunks requires StreamingInferencer(..., "
+                f"transport='chunks'); this instance was built with "
+                f"transport={self.transport!r}")
         args = local_batch_slice(
             {"chunks": chunks, "map_bev": map_bev}, self.mesh, self.cfg.mesh,
         )

@@ -54,6 +54,9 @@ def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh,
     grid, aug_cfg, loss_cfg = cfg.grid, cfg.augment, cfg.loss
     b_shard = batch_sharding(mesh, cfg.mesh)
     rep = replicated(mesh)
+    from ..train import chunk_patch_for
+
+    chunk_patch = chunk_patch_for(cfg)
 
     def step_fn(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -61,7 +64,8 @@ def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh,
 
         compute_dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
         lidar, map_bev, gt_boxes, gt_intents = _augmented_inputs(
-            batch, rng_aug, aug_cfg, grid, compute_dtype
+            batch, rng_aug, aug_cfg, grid, compute_dtype,
+            chunk_patch=chunk_patch,
         )
 
         def loss_fn(params):
@@ -96,11 +100,21 @@ def make_sharded_train_step(model, cfg: ExperimentConfig, anchors, tx, mesh,
                    ("loss", "cls_loss", "box_loss", "intent_loss", "num_pos_anchors")}
         return new_state, metrics
 
-    batch_shardings = {
-        "points": b_shard, "points_valid": b_shard, "map_bev": b_shard,
-        "gt_boxes": b_shard, "gt_intentions": b_shard, "gt_valid": b_shard,
-        "aug_params": b_shard,
-    }
+    if cfg.train.transport == "chunks":
+        from ..ops.voxel_embed import VoxelChunks
+
+        batch_shardings = {
+            "chunks": VoxelChunks(*([b_shard] * 5)),
+            "map_bev": b_shard, "gt_boxes": b_shard,
+            "gt_intentions": b_shard, "gt_valid": b_shard,
+            "aug_params": b_shard,
+        }
+    else:
+        batch_shardings = {
+            "points": b_shard, "points_valid": b_shard, "map_bev": b_shard,
+            "gt_boxes": b_shard, "gt_intentions": b_shard, "gt_valid": b_shard,
+            "aug_params": b_shard,
+        }
 
     def state_shardings(state: TrainState) -> TrainState:
         p_shard = param_shardings(state.params, mesh, cfg.mesh)

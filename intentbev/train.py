@@ -181,7 +181,8 @@ def compute_intention_class_weights(
     return (weights / weights.sum()).astype(np.float32)
 
 
-def _augmented_inputs(batch, rng_aug, aug_cfg, grid, compute_dtype):
+def _augmented_inputs(batch, rng_aug, aug_cfg, grid, compute_dtype,
+                      chunk_patch: int = 8):
     """Voxelize + augment inside the jitted step; returns
     (lidar_bev, map_bev, gt_boxes, gt_intentions).
 
@@ -191,14 +192,43 @@ def _augmented_inputs(batch, rng_aug, aug_cfg, grid, compute_dtype):
     voxelization and applies patch dropout — no 299-channel bilinear image
     warp (measured ~138 ms/batch-8 on v5e). Legacy image-space path kept
     for batches without aug_params (pre-voxelized callers).
+
+    Chunk-transport path (batch carries ``chunks`` from batch_iterator
+    transport='chunks'): the host ALREADY augmented the points and built
+    placement chunks, so the BEV fills via the linear band writer
+    (ops.voxel_embed.voxel_fill_bev) — no scatter-max, no layout copy —
+    and only the GT transform runs here. The BEV is input data (no
+    gradient flows into it), so the forward-only Pallas writer is safe
+    inside the differentiated step.
     """
     from .bev.augment import augment_points_gt, dropout_keep_mask
+
+    map_in = decode_map_transport(batch["map_bev"], grid.map_channels, compute_dtype)
+    if "chunks" in batch:
+        import jax.numpy as jnp
+
+        from .bev.augment import augment_gt
+        from .ops.voxel_embed import decode_chunk_transport, voxel_fill_bev
+
+        chunks = decode_chunk_transport(batch["chunks"])
+        lidar = voxel_fill_bev(
+            chunks, (grid.height_px, grid.width_px),
+            grid.lidar_total_channels, chunk_patch, dtype=compute_dtype)
+        gt_boxes, gt_intents = jax.vmap(augment_gt)(
+            batch["gt_boxes"], batch["gt_intentions"], batch["gt_valid"],
+            batch["aug_params"])
+        keys = jax.random.split(rng_aug, lidar.shape[0])
+        keep = jax.vmap(
+            lambda k: dropout_keep_mask(k, aug_cfg, grid.height_px, grid.width_px)
+        )(keys)[..., None]
+        lidar = lidar * keep.astype(lidar.dtype)
+        map_bev = map_in * keep.astype(map_in.dtype)
+        return lidar, map_bev, gt_boxes, gt_intents
 
     # transport decode: bit-packed/u8 map -> compute dtype, i16 cm points
     # -> f32 (bev.voxelize / bev.rasterize transport encodings — the batch
     # crosses host->device every step, so it ships in compact dtypes).
     # No-op for f32 callers.
-    map_in = decode_map_transport(batch["map_bev"], grid.map_channels, compute_dtype)
     points_in = dequantize_points(batch["points"])
     if "aug_params" in batch:
         pts, gt_boxes, gt_intents = jax.vmap(augment_points_gt)(
@@ -226,14 +256,26 @@ def _augmented_inputs(batch, rng_aug, aug_cfg, grid, compute_dtype):
     return aug.lidar_bev, aug.map_bev, aug.gt_boxes, aug.gt_intentions
 
 
+def chunk_patch_for(cfg: ExperimentConfig) -> int:
+    """Band geometry of the train chunk transport: the ViT's patch size
+    (shared with the serving transport) or the CNN constant."""
+    from .ops.voxel_embed import CNN_CHUNK_PATCH
+
+    return (cfg.vit.patch_size if cfg.model_family == "vit"
+            else CNN_CHUNK_PATCH)
+
+
 def make_train_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray, tx,
                     intention_weights: jnp.ndarray | None = None):
     """Builds the single-program jitted train step.
 
     batch fields (device arrays): points [B,S,P,4], points_valid [B,S,P],
-    map_bev [B,H,W,9], gt_boxes [B,G,5], gt_intentions [B,G], gt_valid [B,G].
+    map_bev [B,H,W,9], gt_boxes [B,G,5], gt_intentions [B,G], gt_valid [B,G]
+    — or ``chunks`` (VoxelChunks) in place of points/points_valid on the
+    chunk train transport (TrainConfig.transport='chunks').
     """
     grid, aug_cfg, loss_cfg = cfg.grid, cfg.augment, cfg.loss
+    chunk_patch = chunk_patch_for(cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng: jax.Array):
@@ -242,7 +284,8 @@ def make_train_step(model, cfg: ExperimentConfig, anchors: jnp.ndarray, tx,
 
         compute_dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
         lidar, map_bev, gt_boxes, gt_intents = _augmented_inputs(
-            batch, rng_aug, aug_cfg, grid, compute_dtype
+            batch, rng_aug, aug_cfg, grid, compute_dtype,
+            chunk_patch=chunk_patch,
         )
 
         def loss_fn(params):
@@ -478,6 +521,9 @@ def train(
             local_sequences, loader, local_batch_size, shuffle=True,
             seed=cfg.train.seed + epoch, num_workers=num_workers, drop_last=True,
             augment=cfg.augment, skip_batches=skip,
+            transport=cfg.train.transport,
+            chunk_patch=chunk_patch_for(cfg),
+            chunk_capacity=cfg.train.chunk_capacity,
         )
         accum = {"loss": 0.0, "cls_loss": 0.0, "box_loss": 0.0, "intent_loss": 0.0}
         n_batches = 0
@@ -592,6 +638,11 @@ def main(argv=None):
                         "the checkpointed schedule)")
     p.add_argument("--use_intention_weights", action="store_true")
     p.add_argument("--no_intention_downsampling", action="store_true")
+    p.add_argument("--transport", choices=["points", "chunks"], default=None,
+                   help="train input transport: 'chunks' builds augmented "
+                        "voxel chunks on the host (C++ builder) so the "
+                        "device step skips the scatter-max voxelizer "
+                        "(TrainConfig.transport)")
     p.add_argument("--distributed", action="store_true",
                    help="DP(xTP) sharded training over all visible devices")
     p.add_argument("--model_parallel", type=int, default=1)
@@ -617,6 +668,8 @@ def main(argv=None):
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
     if args.learning_rate is not None:
         tr = dataclasses.replace(tr, learning_rate=args.learning_rate)
+    if args.transport is not None:
+        tr = dataclasses.replace(tr, transport=args.transport)
     cfg = dataclasses.replace(cfg, train=tr)
     if args.no_intention_downsampling:
         cfg = dataclasses.replace(

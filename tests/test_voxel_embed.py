@@ -251,3 +251,76 @@ class TestVoxelFillBev:
         assert got.shape == (1, GRID.height_px, GRID.width_px,
                              GRID.lidar_total_channels)
         assert np.all(got == 0.0)
+
+
+class TestChunkTransportPacking:
+    """pack_chunk_transport / decode_chunk_transport (the compact H2D
+    encoding the streaming serving path ships, VERDICT r5 item 3)."""
+
+    def _chunks(self, rng, integral_intensity):
+        pts, valid = _random_points(rng)
+        if integral_intensity:
+            pts[..., 3] = np.rint(pts[..., 3])
+        chunks, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+        return chunks
+
+    def test_roundtrip_exact_integral(self, rng):
+        """Integral 0-255 intensities (AV2's uint8): pack->decode is a
+        bit-exact roundtrip and val ships as u8."""
+        chunks = self._chunks(rng, integral_intensity=True)
+        packed = ve.pack_chunk_transport(chunks)
+        assert packed.sl.dtype == np.uint16
+        assert packed.ch.shape[-1] == 0
+        assert packed.val.dtype == np.uint8
+        dec = ve.decode_chunk_transport(
+            jax.tree_util.tree_map(jnp.asarray, packed))
+        np.testing.assert_array_equal(np.asarray(dec.sl), chunks.sl)
+        np.testing.assert_array_equal(np.asarray(dec.ch), chunks.ch)
+        np.testing.assert_array_equal(np.asarray(dec.val), chunks.val)
+        np.testing.assert_array_equal(np.asarray(dec.wid), chunks.wid)
+
+    def test_float_intensity_keeps_f32_values(self, rng):
+        """Non-integral intensities: indices still pack (exact), values
+        stay f32 (no silent quantisation)."""
+        chunks = self._chunks(rng, integral_intensity=False)
+        packed = ve.pack_chunk_transport(chunks)
+        assert packed.sl.dtype == np.uint16
+        assert packed.val.dtype == np.float32
+        dec = ve.decode_chunk_transport(
+            jax.tree_util.tree_map(jnp.asarray, packed))
+        np.testing.assert_array_equal(np.asarray(dec.sl), chunks.sl)
+        np.testing.assert_array_equal(np.asarray(dec.ch), chunks.ch)
+        np.testing.assert_array_equal(np.asarray(dec.val), chunks.val)
+
+    def test_payload_shrinks(self, rng):
+        chunks = self._chunks(rng, integral_intensity=True)
+        def nbytes(c):
+            return sum(np.asarray(a).nbytes for a in c)
+        assert nbytes(ve.pack_chunk_transport(chunks)) < 0.5 * nbytes(chunks)
+
+    def test_decode_passthrough_unpacked(self, rng):
+        """decode_chunk_transport accepts raw i32/f32 chunks unchanged."""
+        chunks = self._chunks(rng, integral_intensity=False)
+        dec = ve.decode_chunk_transport(
+            jax.tree_util.tree_map(jnp.asarray, chunks))
+        np.testing.assert_array_equal(np.asarray(dec.sl), chunks.sl)
+        np.testing.assert_array_equal(np.asarray(dec.val), chunks.val)
+
+    def test_kernel_consumes_decoded_chunks(self, rng, weights):
+        """pack -> ship -> decode -> voxel_embed_tokens matches the
+        direct path (interpret mode)."""
+        k, b = weights
+        pts, valid = _random_points(rng)
+        pts[..., 3] = np.rint(pts[..., 3])
+        chunks, _ = ve.build_voxel_chunks(pts, valid, GRID, PATCH)
+        packed = jax.tree_util.tree_map(
+            jnp.asarray, ve.pack_chunk_transport(chunks))
+        with pltpu.force_tpu_interpret_mode():
+            want = ve.voxel_embed_tokens(
+                jax.tree_util.tree_map(jnp.asarray, chunks), k, b, PATCH,
+                (GRID.height_px, GRID.width_px))
+            got = ve.voxel_embed_tokens(
+                ve.decode_chunk_transport(packed), k, b, PATCH,
+                (GRID.height_px, GRID.width_px))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)

@@ -28,6 +28,11 @@ def main():
     p.add_argument("--trace", action="store_true",
                    help="profile the timed steps and print top op groups")
     p.add_argument("--top", type=int, default=18)
+    p.add_argument("--transport", default="points",
+                   choices=["points", "chunks"],
+                   help="'chunks' feeds host-built augmented voxel chunks "
+                        "(TrainConfig.transport='chunks') so the device "
+                        "step skips the scatter-max voxelizer")
     args = p.parse_args()
 
     import dataclasses
@@ -46,6 +51,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            remat_vit_blocks=args.remat))
+    if args.transport != cfg.train.transport:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           transport=args.transport))
     g = cfg.grid
     model = build_model(cfg, train_mode=True)
     tx = make_optimizer(cfg)
@@ -63,9 +72,28 @@ def main():
     gtb = np.zeros((B, G, 5), np.float32)
     gtb[..., 0] = r.uniform(0, 50, (B, G)); gtb[..., 1] = r.uniform(-30, 30, (B, G))
     gtb[..., 2] = 2.0; gtb[..., 3] = 4.5
+    if args.transport == "chunks":
+        from intentbev.ops.voxel_embed import (build_voxel_chunks,
+                                               pack_chunk_transport,
+                                               stack_voxel_chunks)
+        from intentbev.train import chunk_patch_for
+
+        patch = chunk_patch_for(cfg)
+        t0 = time.perf_counter()
+        chunks = pack_chunk_transport(stack_voxel_chunks([
+            build_voxel_chunks(
+                pts[b], np.ones((S, P), bool), g, patch,
+                num_chunks=cfg.train.chunk_capacity, on_overflow="drop")[0]
+            for b in range(B)
+        ]))
+        print(f"host chunk build: {(time.perf_counter() - t0) * 1000:.1f} "
+              f"ms/batch-{B} (loader-thread work, overlaps device compute)")
+        inputs = {"chunks": jax.tree_util.tree_map(jnp.asarray, chunks)}
+    else:
+        inputs = {"points": jnp.asarray(pts),
+                  "points_valid": jnp.ones((B, S, P), bool)}
     batch = {
-        "points": jnp.asarray(pts),
-        "points_valid": jnp.ones((B, S, P), bool),
+        **inputs,
         "map_bev": jnp.asarray(
             (r.uniform(0, 1, (B, g.height_px, g.width_px, g.map_channels))
              < 0.05).astype(np.float32)),
