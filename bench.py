@@ -238,11 +238,17 @@ def run_sustained(batch_size: int = 8, batches: int = 12,
     from intentbev.models import build_model
     from intentbev.parallel import StreamingInferencer
 
+    import sys
+
+    def note(msg):
+        print(f"# sustained: {msg}", file=sys.stderr, flush=True)
+
     cfg = default_vit_config()
     g = cfg.grid
     model = build_model(cfg)
     lidar0 = jnp.zeros((1, g.height_px, g.width_px, g.lidar_total_channels))
     map0 = jnp.zeros((1, g.height_px, g.width_px, g.map_channels))
+    note("init params")
     variables = jax.jit(model.init)(jax.random.key(0), lidar0, map0)
     inf = StreamingInferencer(cfg, variables, transport="chunks")
 
@@ -269,9 +275,11 @@ def run_sustained(batch_size: int = 8, batches: int = 12,
         return pts, np.ones((B, S, P), bool), mp
 
     # compile + warm both stages
+    note("compile+warm serving program")
     pts0, pv0, mp0 = random_batch(0)
     chunks0 = inf.build_chunks(pts0, pv0)
     inf.infer_chunks(chunks0, mp0)
+    note("warm done; H2D probe")
     bytes_per_frame = (sum(np.asarray(a).nbytes for a in chunks0)
                        + mp0.nbytes) / B
 
@@ -319,7 +327,11 @@ def run_sustained(batch_size: int = 8, batches: int = 12,
             inf.fetch(pending)
         return n / (time.perf_counter() - t0)
 
-    rates = sorted(one_pass(i) for i in range(passes))
+    rates = []
+    for i in range(passes):
+        rates.append(one_pass(i))
+        note(f"pass {i + 1}/{passes}: {rates[-1]:.2f} fps")
+    rates = sorted(rates)
     fps = rates[len(rates) // 2]  # median
     print(json.dumps({
         "metric": "bev_frames_per_sec_sustained",
@@ -336,6 +348,10 @@ def run_sustained(batch_size: int = 8, batches: int = 12,
 def main():
     import os
     import sys
+
+    from intentbev.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # serving-only fused-tail block size (v5e sweeps: 512 > 384 > 256
     # forward-only; 1024 beats 512 by a further ~+0.5 under the sigmoid

@@ -265,6 +265,9 @@ def evaluate(
 
 
 def main(argv=None):
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt_dir", required=True)
     p.add_argument("--data_dir", required=True)

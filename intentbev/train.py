@@ -613,6 +613,9 @@ def train(
 
 
 def main(argv=None):
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_dir", required=True)
     p.add_argument("--out_dir", default="./runs/intentbev")

@@ -19,6 +19,9 @@ import time
 
 
 def main():
+    from intentbev.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=10)
