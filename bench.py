@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -91,9 +92,19 @@ def build_bench(batch_size: int, points_per_sweep: int, model_name: str = "vit",
         if model_name == "cnn":
             from intentbev.ops.voxel_embed import (CNN_CHUNK_PATCH,
                                                     voxel_fill_bev)
+            # INTENTBEV_CNN_FILL_LAYOUT sweep (docs/PERF.md "CNN family"):
+            # the first 290->160 conv re-tiles the fill kernel's row-major
+            # bf16 output inside its own fusion (8.0 -> 16.3 ms). Variants:
+            # "barrier" forces the relayout into a standalone copy outside
+            # the conv fusion; "f32" emits the band in f32 (8x128 native
+            # tiles) and lets the conv's bf16 cast ride the relayout.
+            fill_layout = os.environ.get("INTENTBEV_CNN_FILL_LAYOUT", "")
+            fill_dt = jnp.float32 if fill_layout == "f32" else jnp.bfloat16
             lidar = voxel_fill_bev(
                 chunks, (g.height_px, g.width_px), g.lidar_total_channels,
-                CNN_CHUNK_PATCH, dtype=jnp.bfloat16)
+                CNN_CHUNK_PATCH, dtype=fill_dt)
+            if fill_layout == "barrier":
+                lidar = jax.lax.optimization_barrier(lidar)
             cls_l, box_d, int_l = model.apply(variables, lidar, map_bev)
         else:
             cls_l, box_d, int_l = model.apply(variables, chunks, map_bev)

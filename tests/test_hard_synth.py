@@ -87,15 +87,21 @@ class TestCurvedGeometry:
         x2, y2, _ = syn.curved_arc_point(300.0, 0.0, 1.75, -1.0)
         assert y2 == pytest.approx(-1.75)
 
-    def test_curved_map_rasterizes(self):
-        from intentbev.bev.rasterize import parse_map_json, rasterize_map
+    def test_curved_map_rasterizes(self, tmp_path):
+        from intentbev.bev.rasterize import (parse_map_json,
+                                             rasterize_map_ego_centric)
         from intentbev.configs import GridConfig
 
         md = syn.curved_multi_lane_map_data(300.0, 1.0)
-        grid = GridConfig(height_px=160, width_px=160)
-        elements = parse_map_json(json.dumps(md))
-        bev = rasterize_map(elements, grid, ego_xy=(20.0, 0.0), ego_yaw=0.0)
-        assert bev.shape == (160, 160, grid.map_channels)
+        map_path = tmp_path / "log_map_archive_test.json"
+        map_path.write_text(json.dumps(md))
+        grid = GridConfig()
+        elements = parse_map_json(str(map_path))
+        pose = {"tx_m": 20.0, "ty_m": 0.0,
+                "qx": 0.0, "qy": 0.0, "qz": 0.0, "qw": 1.0}
+        bev = rasterize_map_ego_centric(elements, pose, grid)
+        assert bev.shape == (grid.height_px, grid.width_px,
+                             grid.map_channels)
         assert bev.any(), "curved lanes must draw into the BEV"
 
     def test_curved_keep_laner_labels_keep_lane(self, tmp_path):

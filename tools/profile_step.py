@@ -78,11 +78,17 @@ def run_and_trace(args) -> str:
         anchors = jnp.asarray(generate_anchors(cfg.grid, cfg.anchors))
         ev = cfg.eval
 
+        # same layout sweep knob as bench.py (docs/PERF.md "CNN family")
+        fill_layout = os.environ.get("INTENTBEV_CNN_FILL_LAYOUT", "")
+        fill_dt = jnp.float32 if fill_layout == "f32" else jnp.bfloat16
+
         @jax.jit
         def step(variables, chunks, mp):
             lidar = voxel_fill_bev(
                 chunks, (g.height_px, g.width_px), g.lidar_total_channels,
-                CNN_CHUNK_PATCH, dtype=jnp.bfloat16)
+                CNN_CHUNK_PATCH, dtype=fill_dt)
+            if fill_layout == "barrier":
+                lidar = jax.lax.optimization_barrier(lidar)
             cls_l, box_d, int_l = model.apply(variables, lidar, mp)
             det = batched_postprocess(
                 cls_l, box_d, int_l, anchors,
